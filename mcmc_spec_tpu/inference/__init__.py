@@ -1,0 +1,10 @@
+from mcmc_spec_tpu.inference.target import PackedTarget, pack_target  # noqa: F401
+from mcmc_spec_tpu.inference.posterior import (  # noqa: F401
+    log_posterior,
+    log_likelihood,
+    log_prior,
+    optimizer_chi2,
+    forward_summary,
+)
+from mcmc_spec_tpu.inference.stretch import EnsembleState, run_ensemble, stretch_step  # noqa: F401
+from mcmc_spec_tpu.inference.anneal import run_anneal, init_walkers  # noqa: F401

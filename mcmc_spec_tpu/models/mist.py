@@ -1,0 +1,185 @@
+"""MIST isochrone tables: logg(Teff), radius(Teff), mass/luminosity lookups.
+
+The reference loads ``mist_2mass_old.cmd`` (``mft6.py:3487-3490``, de-logging
+the Teff and L columns) and interpolates the 1-Gyr (log age = 9.0) isochrone:
+
+* ``get_logg``  (``mft6.py:87-98``): logg(Teff) by linear interp over the first
+  220 rows of the age-9.0 block (cols: 1=log age, 4=Teff, 5=logg).
+* ``get_radius`` (``mft6.py:66-85``): L(Teff) interp (col 6) then
+  Stefan-Boltzmann radius ``sqrt(L Lsun / (4 pi sigma T^4)) / Rsun``.
+
+That table is NOT in the reference snapshot (``.MISSING_LARGE_BLOBS``), so this
+module (a) reads the genuine ``.cmd`` format when a file is supplied and
+(b) ships a built-in 1-Gyr main-sequence table assembled from standard
+dwarf-star calibrations (Pecaut & Mamajek 2013-style anchors), smooth in Teff.
+The built-in table is an approximation of MIST, documented as such; all tests
+are self-consistent against it.
+
+For the device hot path the curves are resampled onto a uniform Teff grid so a
+lookup is one fused multiply-add + gather (no searchsorted).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+SIGMA_SB = 5.670374e-5  # erg/s/cm^2/K^4   (mft6.py:79)
+LSUN = 3.839e33  # erg/s                   (mft6.py:80)
+RSUN = 6.957e10  # cm                      (mft6.py:81)
+GM_SUN_OVER_RSUN2 = 27420.0  # cm/s^2 -> logg_sun = 4.438
+
+# (Teff K, R/Rsun, M/Msun, M_H, M_Ks): ~1-Gyr main-sequence anchors.
+_ANCHORS = np.array(
+    [
+        # Teff    R      M      M_H    M_Ks
+        [2560.0, 0.102, 0.075, 10.77, 10.30],
+        [2710.0, 0.124, 0.090, 10.22, 9.78],
+        [2850.0, 0.137, 0.102, 9.77, 9.33],
+        [2960.0, 0.155, 0.123, 9.31, 8.90],
+        [3060.0, 0.196, 0.162, 8.72, 8.44],
+        [3190.0, 0.258, 0.231, 8.05, 7.83],
+        [3340.0, 0.301, 0.290, 7.51, 7.28],
+        [3410.0, 0.336, 0.360, 7.04, 6.82],
+        [3550.0, 0.430, 0.440, 6.39, 6.19],
+        [3660.0, 0.496, 0.490, 6.01, 5.84],
+        [3770.0, 0.540, 0.530, 5.71, 5.55],
+        [3850.0, 0.588, 0.570, 5.47, 5.31],
+        [4015.0, 0.612, 0.590, 5.26, 5.10],
+        [4140.0, 0.640, 0.630, 5.05, 4.91],
+        [4410.0, 0.703, 0.680, 4.65, 4.53],
+        [4600.0, 0.735, 0.720, 4.43, 4.32],
+        [4830.0, 0.760, 0.750, 4.21, 4.11],
+        [5040.0, 0.786, 0.780, 4.01, 3.93],
+        [5280.0, 0.815, 0.880, 3.80, 3.73],
+        [5490.0, 0.880, 0.930, 3.58, 3.52],
+        [5660.0, 0.950, 0.970, 3.40, 3.35],
+        [5770.0, 1.000, 1.000, 3.28, 3.24],
+        [5930.0, 1.060, 1.060, 3.13, 3.09],
+        [6120.0, 1.146, 1.180, 2.95, 2.92],
+        [6340.0, 1.220, 1.250, 2.77, 2.74],
+        [6510.0, 1.290, 1.330, 2.63, 2.60],
+        [6720.0, 1.360, 1.440, 2.47, 2.45],
+        [7030.0, 1.450, 1.540, 2.27, 2.25],
+        [7220.0, 1.510, 1.610, 2.15, 2.13],
+        [7500.0, 1.600, 1.700, 1.99, 1.97],
+        [8000.0, 1.690, 1.850, 1.76, 1.74],
+        [8750.0, 1.970, 2.000, 1.44, 1.42],
+        [9700.0, 2.190, 2.180, 1.11, 1.08],
+    ]
+)
+
+
+def _anchor_table() -> np.ndarray:
+    """Assemble a reference-layout matrix from the anchors.
+
+    Column layout follows ``mist_2mass_old.cmd`` as consumed by the reference
+    (0=EEP-ish index, 1=log age, 3=mass, 4=log Teff, 5=logg, 6=log L,
+    15=M_H, 16=M_Ks); unused columns are zero.
+    """
+    teff, rad, mass, mh, mks = _ANCHORS.T
+    logl = 2.0 * np.log10(rad) + 4.0 * np.log10(teff / 5772.0)
+    logg = np.log10(GM_SUN_OVER_RSUN2 * mass / rad**2)
+    mat = np.zeros((len(teff), 17))
+    mat[:, 0] = np.arange(len(teff))
+    mat[:, 1] = 9.0  # log age = 1 Gyr
+    mat[:, 3] = mass
+    mat[:, 4] = np.log10(teff)
+    mat[:, 5] = logg
+    mat[:, 6] = logl
+    mat[:, 15] = mh
+    mat[:, 16] = mks
+    return mat
+
+
+@dataclasses.dataclass
+class MistTable:
+    """De-logged isochrone matrix + fast device lookup tables."""
+
+    matrix: np.ndarray  # de-logged Teff (col 4) and L (col 6), as in main()
+    age_log: float = 9.0
+    max_rows: int = 220  # reference truncation (mft6.py:76,95)
+
+    # uniform-grid device tables (filled by __post_init__)
+    teff_lo: float = 0.0
+    teff_step: float = 0.0
+    logg_tab: np.ndarray = None
+    radius_tab: np.ndarray = None
+    mass_tab: np.ndarray = None
+    lum_tab: np.ndarray = None
+
+    @classmethod
+    def from_cmd_file(cls, path: str) -> "MistTable":
+        """Load a genuine ``mist_2mass_old.cmd`` (de-logs cols 4 and 6 like main)."""
+        matrix = np.genfromtxt(path, autostrip=True)
+        matrix[:, 4] = 10.0 ** matrix[:, 4]
+        matrix[:, 6] = 10.0 ** matrix[:, 6]
+        return cls(matrix=matrix)
+
+    @classmethod
+    def builtin(cls) -> "MistTable":
+        matrix = _anchor_table()
+        matrix[:, 4] = 10.0 ** matrix[:, 4]
+        matrix[:, 6] = 10.0 ** matrix[:, 6]
+        return cls(matrix=matrix)
+
+    def __post_init__(self):
+        age = self.matrix[:, 1]
+        sel = np.where(age == self.age_log)[0][: self.max_rows]
+        teff = self.matrix[sel, 4]
+        order = np.argsort(teff)  # genuine MIST EEP rows ascend in Teff on the MS
+        teff = teff[order]
+        logg = self.matrix[sel, 5][order]
+        lum = self.matrix[sel, 6][order]
+        mass = self.matrix[sel, 3][order]
+        self._teff_nodes = teff
+        self._logg_nodes = logg
+        self._lum_nodes = lum
+        self._mass_nodes = mass
+        # uniform resample for O(1) device interpolation
+        n = 1024
+        self.teff_lo = float(teff.min())
+        hi = float(teff.max())
+        self.teff_step = (hi - self.teff_lo) / (n - 1)
+        tg = self.teff_lo + self.teff_step * np.arange(n)
+        self.logg_tab = np.interp(tg, teff, logg)
+        self.lum_tab = np.interp(tg, teff, lum)
+        self.mass_tab = np.interp(tg, teff, mass)
+        rad = np.sqrt(self.lum_tab * LSUN / (4.0 * np.pi * SIGMA_SB * tg**4)) / RSUN
+        self.radius_tab = rad
+
+    # ----------------------------------------------------------- host lookups
+    def get_logg(self, teff):
+        """logg(Teff) — reference ``get_logg`` (mft6.py:87-98)."""
+        return np.interp(teff, self._teff_nodes, self._logg_nodes)
+
+    def get_radius(self, teff):
+        """radius(Teff) via Stefan-Boltzmann — reference ``get_radius`` (mft6.py:66-85)."""
+        lum = np.interp(teff, self._teff_nodes, self._lum_nodes)
+        return np.sqrt(lum * LSUN / (4.0 * np.pi * SIGMA_SB * np.asarray(teff, float) ** 4)) / RSUN
+
+    def get_mass(self, teff):
+        return np.interp(teff, self._teff_nodes, self._mass_nodes)
+
+    def get_lum(self, teff):
+        return np.interp(teff, self._teff_nodes, self._lum_nodes)
+
+    # --------------------------------------------------------- device lookups
+    def device_tables(self, dtype=jnp.float32):
+        """(teff_lo, teff_step, logg_tab, radius_tab) as jnp arrays."""
+        return (
+            jnp.asarray(self.teff_lo, dtype=dtype),
+            jnp.asarray(self.teff_step, dtype=dtype),
+            jnp.asarray(self.logg_tab, dtype=dtype),
+            jnp.asarray(self.radius_tab, dtype=dtype),
+        )
+
+
+def uniform_interp(lo, step, table, q):
+    """Jit-safe linear interpolation on a uniform grid (clipped at the edges)."""
+    x = (q - lo) / step
+    n = table.shape[0]
+    i = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, n - 2)
+    w = jnp.clip(x - i.astype(x.dtype), 0.0, 1.0)
+    return table[i] * (1.0 - w) + table[i + 1] * w

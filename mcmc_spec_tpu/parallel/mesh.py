@@ -1,0 +1,47 @@
+"""Device-mesh helpers for multi-chip scaling.
+
+The reference's only parallelism is one OS process per optimizer walker
+(``mp.Pool(15)``, ``mft6.py:1744-1753``) and emcee's thread pool; inter-stage
+communication is the filesystem (SURVEY.md section 2, parallelism table).
+Here the scaling axes are:
+
+* ``walkers`` — the ensemble axis, sharded across chips (pure data parallel;
+  the only cross-chip communication the stretch move needs is an
+  ``all_gather`` of the complement half's coordinates, a few KB, riding ICI).
+* ``targets`` — independent KOI systems batched in the same jitted program
+  (fleet mode), also data-parallel.
+
+Meshes are built over whatever devices exist — 1 real TPU chip, a v5e slice,
+or the 8-device virtual CPU mesh used by the test suite.
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis_names=("walkers",)) -> Mesh:
+    """1-D (or reshaped N-D) mesh over the first ``n_devices`` devices."""
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = np.asarray(devices[:n_devices])
+    if len(axis_names) == 1:
+        return Mesh(devices, axis_names)
+    # split the device count as evenly as possible across the leading axis
+    lead = 1
+    for cand in range(int(np.sqrt(n_devices)), 0, -1):
+        if n_devices % cand == 0:
+            lead = cand
+            break
+    return Mesh(devices.reshape(lead, n_devices // lead), axis_names)
+
+
+def walker_sharding(mesh: Mesh, axis: str = "walkers") -> NamedSharding:
+    """Sharding that splits the leading (walker) axis across the mesh."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

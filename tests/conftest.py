@@ -1,0 +1,17 @@
+import os
+
+# Tests run on a virtual 8-device CPU mesh; sharding-correctness is validated
+# here, perf on the real chip via bench.py.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+# The axon sitecustomize force-selects the TPU platform via jax.config, which
+# wins over JAX_PLATFORMS; override it back to CPU for the test suite.
+jax.config.update("jax_platforms", "cpu")
+
+# float64 on CPU for golden-value comparisons; the TPU path packs float32.
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,166 @@
+"""SpectralGrid packing, hybrid-resolution contract, MIST, dust, native loader."""
+import os
+
+import numpy as np
+import pytest
+
+from mcmc_spec_tpu.models.grid import SpectralGrid, _read_two_columns_py
+from mcmc_spec_tpu.models.synthetic import synthetic_grid, synthetic_spectrum
+from mcmc_spec_tpu.models.mist import MistTable
+from mcmc_spec_tpu.models.dust import AvProfile
+from mcmc_spec_tpu.ops.broaden import instrumental_broaden
+
+
+class TestSpectralGrid:
+    def test_pack_shapes_and_axes_sorted(self):
+        g = synthetic_grid(
+            specrange=(6000.0, 9000.0),
+            data_window=(6450.0, 8400.0),
+            resolution=1700,
+            temps=np.array([3600.0, 3000.0, 3300.0]),
+            loggs=np.array([5.0, 4.5]),
+            step=0.5,
+        )
+        assert np.all(np.diff(g.temps) > 0)
+        assert np.all(np.diff(g.loggs) > 0)
+        assert g.flux.shape == (3, 2, len(g.wl))
+        assert abs((g.wl[1] - g.wl[0]) - 0.5) < 1e-9
+
+    def test_hybrid_resolution_contract(self):
+        """Broadened inside the data window, native outside (mft6.py:366-383)."""
+        specrange = (6000.0, 9000.0)
+        window = (6450.0, 8400.0)
+        wl = np.arange(*specrange, 0.5)
+        native = synthetic_spectrum(wl, 3800.0, 5.0)
+
+        def entries():
+            yield 3800.0, 5.0, wl, native
+
+        g = SpectralGrid.from_spectra(entries(), specrange, window, 1700, step=0.5)
+        packed = g.flux[0, 0]
+        out_mask = (g.wl < window[0] - 5) | (g.wl > window[1] + 5)
+        in_mask = (g.wl > window[0] + 20) & (g.wl < window[1] - 20)
+        # outside: native resolution preserved exactly
+        np.testing.assert_allclose(packed[out_mask], native[out_mask], rtol=1e-12)
+        # inside: smoothed (less small-scale variance)
+        dn = np.diff(native[in_mask])
+        dp = np.diff(packed[in_mask])
+        assert dp.std() < 0.98 * dn.std()
+        assert not np.allclose(packed[in_mask], native[in_mask])
+
+    def test_npz_roundtrip(self, tmp_path):
+        g = synthetic_grid(
+            specrange=(6000.0, 7000.0), data_window=(6400.0, 6800.0), resolution=1000,
+            temps=np.array([3000.0, 3400.0]), loggs=np.array([4.5, 5.0]), step=1.0,
+        )
+        path = str(tmp_path / "grid.npz")
+        g.save_npz(path)
+        g2 = SpectralGrid.from_npz(path)
+        np.testing.assert_array_equal(g.flux, g2.flux)
+        np.testing.assert_array_equal(g.wl, g2.wl)
+
+    def test_interp_spectrum_between_gridpoints(self):
+        g = synthetic_grid(
+            specrange=(6000.0, 7000.0), data_window=(6400.0, 6800.0), resolution=1000,
+            temps=np.array([3000.0, 3400.0]), loggs=np.array([4.5, 5.0]), step=1.0,
+        )
+        mid = g.interp_spectrum(3200.0, 4.75)
+        manual = 0.25 * (g.flux[0, 0] + g.flux[0, 1] + g.flux[1, 0] + g.flux[1, 1])
+        np.testing.assert_allclose(mid, manual, rtol=1e-10)
+
+
+class TestBtsettlLoader:
+    def _write_btsettl(self, tmp_path):
+        d = tmp_path / "BT-Settl_M-0.0a+0.0"
+        d.mkdir()
+        wl = np.arange(5900.0, 9100.0, 1.0)
+        for t in (30, 34):
+            for g in ("4.5", "5.0"):
+                flux = synthetic_spectrum(wl, t * 100.0, float(g))
+                path = d / f"lte0{t}-{g}-0.0a+0.0.BT-Settl.spec.7.txt"
+                np.savetxt(path, np.column_stack([wl, flux]))
+        return str(d)
+
+    def test_directory_load(self, tmp_path):
+        d = self._write_btsettl(tmp_path)
+        g = SpectralGrid.from_btsettl_dir(
+            d, (2000, 6000), (4.0, 5.5), (6000, 9000), (6450, 8400), 1700,
+            use_native=False,
+        )
+        assert list(g.temps) == [3000.0, 3400.0]
+        assert list(g.loggs) == [4.5, 5.0]
+
+    def test_native_loader_matches_python(self, tmp_path):
+        from mcmc_spec_tpu.runtime import native_loader
+
+        reader = native_loader.maybe_reader()
+        if reader is None:
+            pytest.skip("native toolchain unavailable")
+        d = self._write_btsettl(tmp_path)
+        path = os.path.join(d, os.listdir(d)[0])
+        wl_n, fx_n = reader.read_two_columns(path, 6000.0, 9000.0)
+        wl_p, fx_p = _read_two_columns_py(path, 6000.0, 9000.0)
+        np.testing.assert_allclose(wl_n, wl_p, rtol=1e-15)
+        np.testing.assert_allclose(fx_n, fx_p, rtol=1e-15)
+
+    def test_native_read_many(self, tmp_path):
+        from mcmc_spec_tpu.runtime import native_loader
+
+        reader = native_loader.maybe_reader()
+        if reader is None:
+            pytest.skip("native toolchain unavailable")
+        d = self._write_btsettl(tmp_path)
+        paths = [os.path.join(d, f) for f in sorted(os.listdir(d))]
+        out = reader.read_many(paths, 6000.0, 9000.0)
+        assert len(out) == len(paths)
+        for path, (wl, fx) in zip(paths, out):
+            wl_p, fx_p = _read_two_columns_py(path, 6000.0, 9000.0)
+            np.testing.assert_allclose(wl, wl_p)
+            np.testing.assert_allclose(fx, fx_p)
+
+
+class TestMist:
+    def test_builtin_monotone(self):
+        m = MistTable.builtin()
+        t = np.linspace(2800, 7000, 50)
+        r = m.get_radius(t)
+        assert np.all(np.diff(r) > 0)  # radius grows with Teff on the MS
+        g = m.get_logg(t)
+        assert np.all(np.diff(g) < 0.01)  # logg decreases (roughly monotone)
+
+    def test_solar_point(self):
+        m = MistTable.builtin()
+        assert abs(m.get_radius(5772.0) - 1.0) < 0.05
+        assert abs(m.get_logg(5772.0) - 4.438) < 0.1
+
+    def test_cmd_file_roundtrip(self, tmp_path):
+        from mcmc_spec_tpu.models.mist import _anchor_table
+
+        mat = _anchor_table()
+        path = str(tmp_path / "mist.cmd")
+        np.savetxt(path, mat)
+        m = MistTable.from_cmd_file(path)
+        b = MistTable.builtin()
+        np.testing.assert_allclose(m.get_radius(4000.0), b.get_radius(4000.0), rtol=1e-8)
+
+
+class TestAvProfile:
+    def test_constant_profile(self):
+        p = AvProfile.constant(0.2, 0.0)
+        assert np.all(p.av_sig == 0.05)  # sigma floor (mft6.py:1237-1238)
+        lo, step, mu, sig = p.device_tables(n=16)
+        np.testing.assert_allclose(np.asarray(mu), 0.2)
+
+    def test_table_roundtrip(self, tmp_path):
+        d = np.geomspace(10, 1000, 20)
+        mu = 0.1 + 0.3 * np.log10(d) / 3
+        sig = np.full(20, 0.08)
+        path = str(tmp_path / "prof.txt")
+        np.savetxt(path, np.column_stack([d, mu, sig]))
+        p = AvProfile.from_table(path)
+        np.testing.assert_allclose(p.av_mu, mu)
+
+    def test_fallback_for_target(self):
+        p = AvProfile.for_target(288.45, 45.8, av_fallback=0.106, av_err_fallback=0.01)
+        # dustmaps is not installed here -> constant fallback with floored sigma
+        assert np.all(p.av_sig >= 0.01)

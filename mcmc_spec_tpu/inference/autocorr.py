@@ -1,0 +1,63 @@
+"""Integrated autocorrelation time (emcee-compatible) for convergence gating.
+
+The reference's emcee driver stops sampling when ``acl * 50 < n`` and the
+relative ACL change drops below 10% (``mft6.py:1512-1524``).  This reproduces
+emcee's estimator: per-walker FFT autocorrelation, averaged over walkers, with
+Sokal's automated windowing (window ``M`` = first ``m`` with ``m >= c*tau_m``).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def _next_pow_two(n: int) -> int:
+    i = 1
+    while i < n:
+        i <<= 1
+    return i
+
+
+def autocorr_func_1d(x: np.ndarray) -> np.ndarray:
+    """Normalised autocorrelation function of a 1-D series (FFT-based)."""
+    x = np.atleast_1d(np.asarray(x, dtype=np.float64))
+    n = _next_pow_two(len(x))
+    f = np.fft.fft(x - np.mean(x), n=2 * n)
+    acf = np.fft.ifft(f * np.conjugate(f))[: len(x)].real
+    acf /= acf[0] if acf[0] != 0 else 1.0
+    return acf
+
+
+def integrated_time(chain: np.ndarray, c: float = 5.0) -> np.ndarray:
+    """tau per parameter for ``chain [nsteps, nwalkers, ndim]``."""
+    chain = np.asarray(chain)
+    if chain.ndim == 2:
+        chain = chain[:, :, None]
+    nsteps, nw, ndim = chain.shape
+    taus = np.empty(ndim)
+    for d in range(ndim):
+        f = np.zeros(nsteps)
+        for w in range(nw):
+            f += autocorr_func_1d(chain[:, w, d])
+        f /= nw
+        taus_m = 2.0 * np.cumsum(f) - 1.0
+        window = _auto_window(taus_m, c)
+        taus[d] = taus_m[window]
+    return taus
+
+
+def _auto_window(taus: np.ndarray, c: float) -> int:
+    m = np.arange(len(taus)) < c * taus
+    if np.any(m):
+        return int(np.argmin(m))
+    return len(taus) - 1
+
+
+def converged(taus, n_steps: int, old_taus=None, factor: float = 50.0, rtol: float = 0.1):
+    """The reference's convergence gate (mft6.py:1518-1522)."""
+    taus = np.asarray(taus)
+    if np.any(np.isnan(taus)):
+        return False
+    ok = np.all(taus * factor < n_steps)
+    if old_taus is not None and np.all(np.isfinite(old_taus)):
+        ok &= np.all(np.abs(np.asarray(old_taus) - taus) / taus < rtol)
+    return bool(ok)

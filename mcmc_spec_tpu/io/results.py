@@ -1,0 +1,110 @@
+"""Result files + chain checkpointing.
+
+Artifact compatibility with the reference so its downstream tooling keeps
+working: ``{dirname}/samples.txt`` (flat chain, ``mft6.py:1529-1531``),
+``optimize_res.txt``/``optimize_cs.txt`` (stage-1 best fits, ``mft6.py:
+1760-1763``), per-walker ``params{n}.txt``/``chisq{n}.txt`` traces
+(``mft6.py:1105-1115``), ``{fname}_autocorr.txt`` (``mft6.py:1515-1516``),
+and burn-in/results coordinate dumps every ``nthin`` steps.
+
+Checkpointing (absent in the reference beyond those text files) stores the
+full sampler state — coordinates, log-probs, RNG key, step index — as npz so
+an interrupted chain resumes exactly.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def write_samples(dirname: str, samples: np.ndarray):
+    np.savetxt(os.path.join(dirname, "samples.txt"), np.asarray(samples))
+
+
+def read_samples(dirname: str) -> np.ndarray:
+    return np.genfromtxt(os.path.join(dirname, "samples.txt"))
+
+
+def write_optimize_results(dirname: str, params: np.ndarray, chis: np.ndarray):
+    """Append stage-1 results like the reference's optimizer fan-out."""
+    os.makedirs(dirname, exist_ok=True)
+    with open(os.path.join(dirname, "optimize_res.txt"), "a") as f:
+        for row in np.asarray(params):
+            f.write(" ".join(str(v) for v in row) + "\n")
+    with open(os.path.join(dirname, "optimize_cs.txt"), "a") as f:
+        for c in np.asarray(chis):
+            f.write(str(c) + "\n")
+
+
+def read_optimize_results(dirname: str):
+    chis = np.genfromtxt(os.path.join(dirname, "optimize_cs.txt"))
+    pars = np.genfromtxt(os.path.join(dirname, "optimize_res.txt"))
+    return np.atleast_1d(chis), np.atleast_2d(pars)
+
+
+def write_walker_traces(dirname: str, trace_params: np.ndarray, trace_chi: np.ndarray):
+    """Per-walker ``params{n}.txt``/``chisq{n}.txt`` trace files.
+
+    ``trace_params [n_snap, nw, ndim]``, ``trace_chi [n_snap, nw]``.
+    """
+    os.makedirs(dirname, exist_ok=True)
+    n_snap, nw, ndim = np.asarray(trace_params).shape
+    for w in range(nw):
+        with open(os.path.join(dirname, f"params{w}.txt"), "a") as f:
+            for s in range(n_snap):
+                f.write(" ".join(str(v) for v in np.asarray(trace_params)[s, w]) + "\n")
+        with open(os.path.join(dirname, f"chisq{w}.txt"), "a") as f:
+            for s in range(n_snap):
+                f.write(f"{np.asarray(trace_chi)[s, w]} {np.asarray(trace_chi)[s, w]}\n")
+
+
+def append_autocorr(dirname: str, fname: str, macl: float):
+    with open(os.path.join(dirname, f"{fname}_autocorr.txt"), "a") as f:
+        f.write(str(macl) + "\n")
+
+
+def dump_coords(dirname: str, fname: str, step: int, coords: np.ndarray, stage: str = "results"):
+    """Thinned coordinate dumps (``{fname}_{n}_burnin.txt`` / ``_results.txt``)."""
+    path = os.path.join(dirname, f"{fname}_{step}_{stage}.txt")
+    with open(path, "ab") as f:
+        f.write(b"\n")
+        np.savetxt(f, np.asarray(coords))
+
+
+@dataclasses.dataclass
+class Checkpoint:
+    """Exact-resume sampler checkpoint."""
+
+    coords: np.ndarray
+    log_prob: np.ndarray
+    key: np.ndarray
+    step: int
+    n_accept: int = 0
+
+    def save(self, path: str):
+        np.savez_compressed(
+            path,
+            coords=np.asarray(self.coords),
+            log_prob=np.asarray(self.log_prob),
+            key=np.asarray(self.key),
+            step=self.step,
+            n_accept=self.n_accept,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "Checkpoint":
+        z = np.load(path)
+        return cls(
+            coords=z["coords"],
+            log_prob=z["log_prob"],
+            key=z["key"],
+            step=int(z["step"]),
+            n_accept=int(z["n_accept"]),
+        )
+
+    @classmethod
+    def maybe_load(cls, path: str) -> Optional["Checkpoint"]:
+        return cls.load(path) if os.path.exists(path) else None

@@ -1,0 +1,290 @@
+"""End-to-end fit pipeline: config -> packed target -> optimize -> MCMC -> report.
+
+The TPU-native equivalent of the reference's ``main`` (``mft6.py:3450-3711``),
+with the same stage structure and artifact outputs:
+
+* **setup**: parse the param file, load + mask + normalise the data spectrum,
+  build (or load from cache) the packed spectral grid, resolve filter curves,
+  MIST tables, and the Av(distance) prior profile, and pack everything into a
+  :class:`PackedTarget`.
+* **optimize** (``-o True``): random walker init, vmapped annealing, writes
+  ``optimize_res.txt``/``optimize_cs.txt`` + per-walker traces.
+* **emcee** (``-e True``): top-third-by-chi2 seeding (``mft6.py:3668-3674``),
+  stretch-move burn-in + sampling with thinned dumps, autocorrelation
+  convergence gate, ``samples.txt``, and report plots.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcmc_spec_tpu.inference.anneal import init_walkers, run_anneal
+from mcmc_spec_tpu.inference.autocorr import converged, integrated_time
+from mcmc_spec_tpu.inference.posterior import log_posterior
+from mcmc_spec_tpu.inference.stretch import init_ensemble, run_ensemble
+from mcmc_spec_tpu.inference.target import PackedTarget, pack_target
+from mcmc_spec_tpu.io import results as results_io
+from mcmc_spec_tpu.io.filters import FilterBank
+from mcmc_spec_tpu.io.spectra import load_data_spectrum
+from mcmc_spec_tpu.models.dust import AvProfile
+from mcmc_spec_tpu.models.grid import SpectralGrid
+from mcmc_spec_tpu.models.mist import MistTable
+from mcmc_spec_tpu.utils.config import FitConfig
+
+
+@dataclasses.dataclass
+class FitContext:
+    """Everything a fit run needs, host + device."""
+
+    cfg: FitConfig
+    grid: SpectralGrid
+    mist: MistTable
+    bank: FilterBank
+    av_profile: AvProfile
+    target: PackedTarget
+    data_wl_um: np.ndarray
+    data_flux: np.ndarray
+    data_err: np.ndarray
+    phot_vega: np.ndarray  # observed photometry after KIC->SDSS recalibration
+
+
+def _resolve(path: str, cfg: FitConfig) -> str:
+    if os.path.isabs(path) or cfg.data_dir is None:
+        return path
+    return os.path.join(cfg.data_dir, path)
+
+
+def kic_to_sdss(phot_filt, oldphot):
+    """KIC -> SDSS photometric recalibration (``mft6.py:3546-3560``)."""
+    slope = {"g": 0.0921, "r": 0.0548, "i": 0.0696, "z": 0.1587}
+    intercept = {"g": -0.0985, "r": -0.0383, "i": -0.0583, "z": -0.0597}
+    color_of = {"g": "g-r", "r": "r-i", "i": "r-i", "z": "i-z"}
+    phot_filt = list(phot_filt)
+    oldphot = np.asarray(oldphot, dtype=np.float64)
+    phot = np.zeros_like(oldphot)
+    for n, p in enumerate(phot_filt):
+        if "sdss" in p.lower():
+            band = p.split(",")[1]
+            c1, c2 = color_of[band].split("-")
+            i1 = phot_filt.index("sdss," + c1)
+            i2 = phot_filt.index("sdss," + c2)
+            color = oldphot[i1] - oldphot[i2]
+            phot[n] = intercept[band] + slope[band] * color + oldphot[n]
+        else:
+            phot[n] = oldphot[n]
+    return phot
+
+
+def build_grid(cfg: FitConfig, data_window, cache: bool = True) -> SpectralGrid:
+    """Load / build the spectral grid, with an npz cache beside the results."""
+    specrange = (cfg.specmin, cfg.specmax)
+    lgrange = (4.0, 5.5)  # main hardcodes [4, 5.5] (mft6.py:3512)
+    cache_path = os.path.join(
+        cfg.dirname,
+        f"grid_{cfg.models}_{cfg.tmin}_{cfg.tmax}_{cfg.specmin}_{cfg.specmax}_{cfg.res}.npz",
+    )
+    if cache and os.path.exists(cache_path):
+        return SpectralGrid.from_npz(cache_path)
+
+    t0 = time.time()
+    if cfg.models == "synthetic":
+        from mcmc_spec_tpu.models.synthetic import synthetic_grid
+
+        grid = synthetic_grid(
+            specrange=specrange,
+            data_window=data_window,
+            resolution=cfg.res,
+            temps=np.arange(cfg.tmin, cfg.tmax + 1, 200.0),
+        )
+    elif cfg.models == "btsettl":
+        grid_dir = cfg.grid_dir or "BT-Settl_M-0.0a+0.0"
+        grid = SpectralGrid.from_btsettl_dir(
+            grid_dir, (cfg.tmin, cfg.tmax), lgrange, specrange, data_window, cfg.res
+        )
+    elif cfg.models == "hires":
+        grid_dir = cfg.grid_dir or "SPECTRA"
+        grid = SpectralGrid.from_phoenix_hires_dir(
+            grid_dir, (cfg.tmin, cfg.tmax), lgrange, specrange, data_window, cfg.res
+        )
+    else:
+        raise ValueError(f"unknown model family {cfg.models!r}")
+    print(f"time to read in specs: {time.time() - t0:.1f}s")  # mft6.py:3514
+
+    if cache:
+        os.makedirs(cfg.dirname, exist_ok=True)
+        grid.save_npz(cache_path)
+    return grid
+
+
+def setup_context(cfg: FitConfig, dtype=jnp.float32) -> FitContext:
+    os.makedirs(cfg.dirname, exist_ok=True)
+    os.makedirs(os.path.join(cfg.dirname, "plots"), exist_ok=True)
+
+    data_wl, data_flux, data_err = load_data_spectrum(
+        _resolve(cfg.filename, cfg), cfg.spmin, cfg.spmax, cfg.mask
+    )
+    data_window = (cfg.spmin * 1e4, cfg.spmax * 1e4)
+
+    grid = build_grid(cfg, data_window)
+
+    bps_dir = cfg.bps_dir or "bps"
+    vega_candidates = [
+        _resolve("Data/vegaspec.fits", cfg),
+        _resolve("vegaspec.fits", cfg),
+    ]
+    vega_path = next((p for p in vega_candidates if os.path.exists(p)), None)
+    bank = FilterBank(bps_dir, vega_path=vega_path)
+
+    cfilts = bank.contrast_curves(cfg.cfilt)
+    pfilts, zps = bank.phot_passbands(cfg.pfilt)
+
+    # KIC->SDSS recalibration unless synthetic input (mft6.py:3553-3562)
+    phot = np.asarray(cfg.pmag, dtype=np.float64)
+    if not cfg.synth:
+        phot = kic_to_sdss(cfg.pfilt, phot)
+
+    mist_path = "mist_2mass_old.cmd"
+    mist = (
+        MistTable.from_cmd_file(mist_path) if os.path.exists(mist_path) else MistTable.builtin()
+    )
+    av_profile = AvProfile.for_target(cfg.ra, cfg.dec, cfg.av, cfg.av_err)
+
+    ndim = cfg.ndim
+    prior_mu = np.zeros(ndim)
+    prior_sig = np.ones(ndim)
+    # plx prior from the parallax measurement (main passes prior=[0,...,plx,plx_err])
+    prior_mu[-1] = cfg.plx
+    prior_sig[-1] = max(cfg.plx_err, 1e-12)
+
+    target = pack_target(
+        grid,
+        data_wl,
+        data_flux,
+        data_err,
+        cfilts,
+        np.asarray(cfg.cmag),
+        np.asarray(cfg.cerr),
+        pfilts,
+        zps,
+        phot,
+        np.asarray(cfg.perr),
+        mist,
+        av_profile,
+        nspec=cfg.nspec,
+        dist_fit=cfg.dist_fit,
+        rad_prior=cfg.rad_prior,
+        spectrum_weight=cfg.spectrum_weight,
+        prior_mu=prior_mu,
+        prior_sig=prior_sig,
+        dtype=dtype,
+    )
+    return FitContext(
+        cfg=cfg,
+        grid=grid,
+        mist=mist,
+        bank=bank,
+        av_profile=av_profile,
+        target=target,
+        data_wl_um=data_wl,
+        data_flux=data_flux,
+        data_err=data_err,
+        phot_vega=phot,
+    )
+
+
+def run_optimize_stage(ctx: FitContext, record_thin: int = 500) -> None:
+    """Stage 1: vmapped annealing over nwalk walkers (mft6.py:1686-1765)."""
+    cfg = ctx.cfg
+    key = jax.random.PRNGKey(cfg.seed)
+    k_init, k_run = jax.random.split(key)
+    p0 = init_walkers(ctx.target, cfg.nwalk, cfg.plx, cfg.plx_err, k_init)
+    params, chi, trace = run_anneal(
+        ctx.target, p0, k_run, steps=cfg.nstep, record_thin=record_thin
+    )
+    params, chi = np.asarray(params), np.asarray(chi)
+    results_io.write_optimize_results(cfg.dirname, params, chi)
+    if trace is not None:
+        results_io.write_walker_traces(cfg.dirname, np.asarray(trace[0]), np.asarray(trace[1]))
+    print("optimization complete")
+
+
+def seed_from_optimize(ctx: FitContext, jitter_triple: bool = True):
+    """Top-1/3-by-chi2 emcee seeding (mft6.py:3668-3677)."""
+    cfg = ctx.cfg
+    chis, pars = results_io.read_optimize_results(cfg.dirname)
+    order = np.argsort(chis)
+    take = max(len(chis) // 3, 2)
+    p0 = pars[order[:take]]
+    if cfg.nspec == 3 and jitter_triple:
+        p0 = p0 + np.random.RandomState(cfg.seed).normal(0, 0.05 * np.abs(p0))
+    return p0
+
+
+def run_mcmc_stage(
+    ctx: FitContext,
+    p0: Optional[np.ndarray] = None,
+    nthin: int = 100,
+    checkpoint_every: int = 0,
+    check_convergence: bool = True,
+) -> np.ndarray:
+    """Stage 2: stretch-move MCMC with burn-in, autocorr gate, samples.txt."""
+    cfg = ctx.cfg
+    tgt = ctx.target
+    if p0 is None:
+        p0 = seed_from_optimize(ctx)
+    p0 = np.asarray(p0, dtype=np.float64)
+    # non-degenerate ensemble: tiny jitter on duplicate rows
+    if len(np.unique(p0[:, 0])) < len(p0):
+        p0 = p0 * (1 + 1e-6 * np.random.RandomState(cfg.seed).randn(*p0.shape))
+
+    logp = lambda p: log_posterior(p, tgt)
+    key = jax.random.PRNGKey(cfg.seed + 1)
+    state = init_ensemble(jnp.asarray(p0, dtype=tgt.data_flux.dtype), logp, key)
+
+    # burn-in with thinned dumps (mft6.py:1494-1499)
+    n_chunks_burn = max(cfg.nburn // nthin, 1)
+    for n in range(n_chunks_burn):
+        state, chain, _ = run_ensemble(state, logp, n_steps=nthin, thin=nthin)
+        results_io.dump_coords(cfg.dirname, cfg.fname, n * nthin, np.asarray(chain[-1]),
+                               stage="burnin")
+    state = state._replace(n_accept=jnp.zeros((), jnp.int32))
+
+    # sampling with autocorrelation-gated early stop (mft6.py:1505-1524)
+    kept = []
+    old_taus = None
+    n_done = 0
+    n_chunks = max(cfg.nsteps // nthin, 1)
+    ckpt_path = os.path.join(cfg.dirname, "chain_checkpoint.npz")
+    for n in range(n_chunks):
+        state, chain, _ = run_ensemble(state, logp, n_steps=nthin, thin=1)
+        kept.append(np.asarray(chain))
+        n_done += nthin
+        results_io.dump_coords(cfg.dirname, cfg.fname, n * nthin, np.asarray(chain[-1]),
+                               stage="results")
+        if checkpoint_every and (n + 1) % checkpoint_every == 0:
+            results_io.Checkpoint(
+                np.asarray(state.coords), np.asarray(state.log_prob),
+                np.asarray(state.key), n_done, int(state.n_accept),
+            ).save(ckpt_path)
+        if check_convergence:
+            full = np.concatenate(kept, axis=0)
+            taus = integrated_time(full)
+            results_io.append_autocorr(cfg.dirname, cfg.fname, float(np.mean(taus)))
+            if converged(taus, n_done, old_taus):
+                break
+            old_taus = taus
+
+    nw = p0.shape[0]
+    af = float(state.n_accept) / (nw * max(n_done, 1))
+    print(f"Mean acceptance fraction: {af:.3f}")  # mft6.py:1525
+
+    chain = np.concatenate(kept, axis=0)  # [nsteps, nw, ndim]
+    samples = chain.reshape(-1, chain.shape[-1])
+    results_io.write_samples(cfg.dirname, samples)
+    return samples

@@ -47,7 +47,7 @@ def parse_param_file(path: str) -> dict:
             if len(fields) < 2:
                 continue
             key, val = fields[0], fields[1]
-            val = val.split("\t")[0]
+            val = val.split("\t")[0].strip()
             pardict[str(key)] = val
     return pardict
 

@@ -1,0 +1,170 @@
+"""End-to-end pipeline test: param file -> optimize -> MCMC -> artifacts.
+
+Uses the self-contained synthetic model family plus the public filter-curve
+directory (read-only reference data).  Skipped when the filter data is not
+available.
+"""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+BPS_DIR = os.environ.get("MCMC_SPEC_BPS", "/root/reference/bps")
+VEGA = os.environ.get("MCMC_SPEC_VEGA", "/root/reference/vegaspec.fits")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(BPS_DIR), reason="filter curve directory unavailable"
+)
+
+TRUTH = dict(t1=4600.0, t2=3400.0, av=0.12, r1=0.72, rr2=0.45, plx=2.0e-3)
+
+
+def _write_param_file(tmp_path, datafile, cmag, pmag, dirname):
+    content = f"""### synthetic end-to-end fixture
+models synthetic
+dirname {dirname}
+fname synthfit
+res 1700
+tmin 3000
+tmax 5600
+specmin 3000
+specmax 30000
+mask True
+rad_prior False
+filename {datafile}
+spmin 0.645
+spmax 0.84
+cmag [{cmag[0]:.4f},{cmag[1]:.4f}]
+cerr [0.05,0.05]
+cfilt ['lp600','Kp']
+pmag [{','.join(f'{m:.4f}' for m in pmag)}]
+perr [0.05,0.05,0.05,0.05,0.05,0.05]
+pfilt ['sdss,r','sdss,i','sdss,z','j','h','k']
+plx {TRUTH['plx']}
+plx_err 0.05e-3
+dist_fit True
+av {TRUTH['av']}
+av_err 0.01
+ra 288.456118
+dec 45.802226
+nwalk 24
+nstep 40
+nspec 2
+ndust 0
+nburn 40
+nsteps 200
+real_values [{TRUTH['t1']},{TRUTH['t2']},{TRUTH['av']},{TRUTH['r1']},{TRUTH['rr2']},{TRUTH['plx']}]
+bps_dir {BPS_DIR}
+"""
+    path = tmp_path / "param_synth_e2e.txt"
+    path.write_text(content)
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def e2e(tmp_path_factory):
+    """Generate a synthetic observation, run both stages, return the context."""
+    tmp_path = tmp_path_factory.mktemp("e2e")
+    os.chdir(tmp_path)  # pipeline writes results under cwd/dirname
+
+    from mcmc_spec_tpu.pipeline import setup_context, run_optimize_stage, run_mcmc_stage
+    from mcmc_spec_tpu.utils.config import FitConfig
+    from mcmc_spec_tpu.report.composite import composite_full
+    from mcmc_spec_tpu.ops.extinction import ccm89
+    from mcmc_spec_tpu.inference.posterior import forward_summary
+
+    # a first pass with placeholder observations to get a context for truth-mags
+    rng = np.random.RandomState(42)
+    wl_um = np.linspace(0.650, 0.838, 1200)
+    datafile = str(tmp_path / "synth_obs.txt")
+    np.savetxt(datafile, np.column_stack([wl_um, np.ones_like(wl_um), 0.01 * np.ones_like(wl_um)]))
+
+    param0 = _write_param_file(tmp_path, datafile, [1.0, 1.0], [14.0, 13.5, 13.2, 12.2, 11.7, 11.6],
+                               dirname="run0")
+    cfg0 = FitConfig.from_dict(
+        {**{k: v for k, v in _parse(param0).items()}}
+    )
+    ctx0 = setup_context(FitConfig.from_file(param0), dtype=jnp.float64)
+
+    p_truth = np.array([TRUTH["t1"], TRUTH["t2"], TRUTH["av"], TRUTH["r1"],
+                        TRUTH["rr2"], TRUTH["plx"]])
+
+    # synth observation: full composite at truth, extincted, on the data grid
+    w, comp, _ = composite_full(ctx0.grid, ctx0.mist, p_truth, 2)
+    comp = comp * 10 ** (-0.4 * np.asarray(ccm89(w, TRUTH["av"])))
+    flux = np.interp(wl_um * 1e4, w, comp)
+    err = 0.01 * flux
+    flux = flux + rng.normal(0, err)
+    np.savetxt(datafile, np.column_stack([wl_um, flux, err]))
+
+    # truth-consistent contrasts/photometry from the packed forward
+    summ = forward_summary(jnp.asarray(p_truth), ctx0.target)
+    cmag = np.asarray(summ["contrasts"])
+    pmag = np.asarray(summ["phot_mags"])
+
+    paramfile = _write_param_file(tmp_path, datafile, cmag, pmag, dirname="run1")
+    # the synth branch keys off the file name containing 'synth'
+    cfg = FitConfig.from_file(paramfile)
+    assert cfg.synth
+    cfg.nsteps = 200
+    ctx = setup_context(cfg, dtype=jnp.float64)
+
+    run_optimize_stage(ctx, record_thin=200)
+    samples = run_mcmc_stage(ctx, nthin=50, check_convergence=False)
+    return dict(ctx=ctx, samples=samples, tmp_path=tmp_path, p_truth=p_truth)
+
+
+def _parse(path):
+    from mcmc_spec_tpu.utils.config import parse_param_file
+
+    return parse_param_file(path)
+
+
+class TestPipeline:
+    def test_optimize_artifacts(self, e2e):
+        d = e2e["ctx"].cfg.dirname
+        assert os.path.exists(os.path.join(d, "optimize_res.txt"))
+        assert os.path.exists(os.path.join(d, "optimize_cs.txt"))
+        chis = np.genfromtxt(os.path.join(d, "optimize_cs.txt"))
+        assert len(chis) == 24
+
+    def test_samples_artifact(self, e2e):
+        d = e2e["ctx"].cfg.dirname
+        samples = np.genfromtxt(os.path.join(d, "samples.txt"))
+        assert samples.shape[1] == 6
+        assert samples.shape[0] >= 200
+
+    def test_posterior_brackets_truth(self, e2e):
+        samples = e2e["samples"]
+        truth = e2e["p_truth"]
+        med = np.median(samples, axis=0)
+        sig = samples.std(axis=0) + 1e-12
+        for i in range(6):
+            assert abs(med[i] - truth[i]) < 5 * sig[i], (i, med[i], truth[i], sig[i])
+
+    def test_report_artifacts(self, e2e):
+        from mcmc_spec_tpu.report.plots import plot_corner, plot_results, plot_fit
+
+        ctx, samples = e2e["ctx"], e2e["samples"]
+        plot_fit(ctx)
+        plot_corner(ctx, samples)
+        plot_results(ctx, samples, n_spec_draws=10, n_kep_draws=100)
+        d = ctx.cfg.dirname
+        for art in [
+            "plots/synthfit_corner.pdf", "plots/bestfit_spec.pdf",
+            "plots/synthfit_phot_scatter.pdf", "plots/synthfit_all_spec.pdf",
+            "plots/bestfit_spec_post_mcmc.pdf", "plots/synthfit_delta_kep.pdf",
+            "plots/synthfit_pri_corr.pdf", "plots/synthfit_sec_corr.pdf",
+            "plots/synthfit_isochrone.pdf", "plots/primary_mass_posterior.pdf",
+            "params.txt", "kep_contrast.txt", "pri_corr.txt", "sec_corr.txt",
+            "gaia_pri.txt", "gaia_sec.txt", "primary_mass_posterior.txt",
+        ]:
+            assert os.path.exists(os.path.join(d, art)), art
+
+    def test_kep_contrast_consistency(self, e2e):
+        """Kepler contrast should be positive (secondary fainter) and O(1)."""
+        d = e2e["ctx"].cfg.dirname
+        kc = np.genfromtxt(os.path.join(d, "kep_contrast.txt"))
+        assert np.median(kc) > 0.5  # 4600K vs 3400K companion is much fainter
+        assert np.median(kc) < 10

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from mcmc_spec_tpu.bench_target import build_bench_target, init_walker_batch
-from mcmc_spec_tpu.inference.posterior import log_posterior
+from mcmc_spec_tpu.inference.batched import log_posterior_batch
 from mcmc_spec_tpu.inference.stretch import init_ensemble, run_ensemble
 
 NWALK = 4096
@@ -28,7 +28,7 @@ BASELINE = 1.0e5  # evals/sec north star (BASELINE.md)
 def main():
     dtype = jnp.float32
     tgt, truth = build_bench_target(dtype)
-    logp = lambda p: log_posterior(p, tgt)
+    logp = lambda batch: log_posterior_batch(batch, tgt)
 
     coords = init_walker_batch(tgt, truth, NWALK, dtype)
     state = init_ensemble(coords, logp, jax.random.PRNGKey(0))

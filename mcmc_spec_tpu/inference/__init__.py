@@ -6,5 +6,12 @@ from mcmc_spec_tpu.inference.posterior import (  # noqa: F401
     optimizer_chi2,
     forward_summary,
 )
+from mcmc_spec_tpu.inference.batched import (  # noqa: F401
+    log_posterior_batch,
+    log_likelihood_batch,
+    log_prior_batch,
+    optimizer_chi2_batch,
+    forward_batch,
+)
 from mcmc_spec_tpu.inference.stretch import EnsembleState, run_ensemble, stretch_step  # noqa: F401
 from mcmc_spec_tpu.inference.anneal import run_anneal, init_walkers  # noqa: F401

@@ -31,7 +31,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from mcmc_spec_tpu.inference.posterior import optimizer_chi2
+from mcmc_spec_tpu.inference.batched import optimizer_chi2_batch
 from mcmc_spec_tpu.inference.target import PackedTarget
 
 
@@ -68,35 +68,35 @@ def _step_sigmas(tgt: PackedTarget, p0: jnp.ndarray, fine: bool):
 
 
 def _in_bounds(tgt: PackedTarget, p: jnp.ndarray):
-    """The annealer's proposal gate (mft6.py:981-982).
+    """The annealer's proposal gate (mft6.py:981-982), batched over [nw, ndim].
 
     Note it differs slightly from the emcee prior bounds: plx in (1/3000,
     1/10), R1 in [0.05, 1.5], ratio in (0.05, 1), T within the grid, Av >= 0.
     """
     n = tgt.nspec
-    teffs = p[:n]
-    av = p[n]
-    ok = jnp.all(teffs > tgt.tmin) & jnp.all(teffs < tgt.tmax) & (av >= 0)
+    teffs = p[:, :n]
+    av = p[:, n]
+    ok = jnp.all(teffs > tgt.tmin, axis=1) & jnp.all(teffs < tgt.tmax, axis=1) & (av >= 0)
     if tgt.fit_plx:
-        r1 = p[n + 1]
-        ratios = p[n + 2 : 2 * n + 1]
-        plx = p[2 * n + 1]
+        r1 = p[:, n + 1]
+        ratios = p[:, n + 2 : 2 * n + 1]
+        plx = p[:, 2 * n + 1]
         ok &= (r1 >= 0.05) & (r1 <= 1.5)
-        ok &= jnp.all((ratios > 0.05) & (ratios < 1.0))
+        ok &= jnp.all((ratios > 0.05) & (ratios < 1.0), axis=1)
         ok &= (plx > 1.0 / 3000.0) & (plx < 0.1)
     else:
-        ok &= jnp.all(p[n + 1 :] >= 0.05)
+        ok &= jnp.all(p[:, n + 1 :] >= 0.05, axis=1)
     return ok
 
 
 def _fix_triple_ratio(tgt: PackedTarget, p: jnp.ndarray):
-    """r3 >= r2 or r3 < 0 -> r3 = 0.9*r2 (mft6.py:984-985)."""
+    """r3 >= r2 or r3 < 0 -> r3 = 0.9*r2 (mft6.py:984-985), batched."""
     if tgt.nspec != 3 or not tgt.fit_plx:
         return p
-    r2 = p[5]
-    r3 = p[6]
+    r2 = p[:, 5]
+    r3 = p[:, 6]
     bad = (r3 >= r2) | (r3 < 0)
-    return p.at[6].set(jnp.where(bad, 0.9 * r2, r3))
+    return p.at[:, 6].set(jnp.where(bad, 0.9 * r2, r3))
 
 
 @functools.partial(jax.jit, static_argnames=("steps", "record_thin"))
@@ -124,7 +124,7 @@ def run_anneal(
         (slice(tgt.nspec + 1, 2 * tgt.nspec + 1)) if tgt.fit_plx else slice(tgt.nspec + 1, None)
     )
 
-    chi0 = jax.vmap(lambda p, s: optimizer_chi2(p, tgt, rad_sigma=s[rad_slice]))(p0, sig_coarse)
+    chi0 = optimizer_chi2_batch(p0, tgt, rad_sigma=sig_coarse[:, rad_slice])
     state = AnnealState(
         params=p0,
         chi=chi0,
@@ -139,14 +139,12 @@ def run_anneal(
         fine = state.n > steps // 2
         sig = jnp.where(fine[:, None], sig_fine, sig_coarse)
 
-        noise = jax.random.normal(knoise, (nw, ndim))
+        noise = jax.random.normal(knoise, (nw, ndim), dtype=p0.dtype)
         proposal = state.params + noise * sig
-        proposal = jax.vmap(lambda p: _fix_triple_ratio(tgt, p))(proposal)
-        ok = jax.vmap(lambda p: _in_bounds(tgt, p))(proposal)
+        proposal = _fix_triple_ratio(tgt, proposal)
+        ok = _in_bounds(tgt, proposal)
 
-        chi_new = jax.vmap(lambda p, s: optimizer_chi2(p, tgt, rad_sigma=s[rad_slice]))(
-            proposal, sig
-        )
+        chi_new = optimizer_chi2_batch(proposal, tgt, rad_sigma=sig[:, rad_slice])
         better = ok & (chi_new < state.chi) & active
 
         params = jnp.where(better[:, None], proposal, state.params)

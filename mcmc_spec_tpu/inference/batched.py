@@ -1,0 +1,264 @@
+"""Explicitly-batched posterior: the production hot path on TPU.
+
+Semantics are identical to :mod:`mcmc_spec_tpu.inference.posterior` (the
+per-walker reference implementation, golden-tested against the reference
+emulator); this module re-expresses the computation for a whole walker batch
+``[nw, ndim]`` at once in a TPU-native form:
+
+* **No gathers, no searchsorted.**  A per-query scalar gather from even a
+  small table costs ~1 ms per 8k queries on TPU v5e; all interpolations here
+  are branchless tent-basis weightings (:func:`tent_weights`).
+* **Bilinear grid blending as an MXU matmul.**  The (Teff, logg) bilinear
+  weights are the outer product of two tent bases, giving a per-walker weight
+  row over the ``nT*nG`` grid points; the batch's model spectra are then one
+  ``[nw, nT*nG] @ [nT*nG, nd]`` matmul (and the filter fluxes tiny ones).
+* Everything else (extinction, median match, continuum renorm, chi^2) is
+  fused elementwise/reduction work on ``[nw, nd]``.
+
+Measured effect: ~6.4 ms -> <1 ms per 4096-walker evaluation batch.
+
+One intentional edge difference from the scalar path: tent weights clamp at
+the grid edges instead of linearly extrapolating beyond them.  Inside the
+prior support (temperatures within the grid, MIST logg within its table) the
+two paths agree to float tolerance; out-of-support walkers are -inf either way.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mcmc_spec_tpu.inference.target import PC_CM, RSUN_CM, PackedTarget
+from mcmc_spec_tpu.models.mist import LSUN, RSUN, SIGMA_SB
+from mcmc_spec_tpu.ops.interp import tent_weights
+
+# TPU MXU matmuls default to single-pass bf16 (~2.5e-3 relative error), which
+# is far too coarse for chi^2 against ~1%-error data; force full f32 passes on
+# every contraction in the hot path.  (CPU ignores the hint.)
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _unpack_batch(p, tgt: PackedTarget):
+    n = tgt.nspec
+    teffs = p[:, :n]
+    av = p[:, n]
+    if tgt.fit_plx:
+        r1 = p[:, n + 1]
+        ratios = p[:, n + 2 : 2 * n + 1]
+        plx = p[:, 2 * n + 1]
+    else:
+        r1 = jnp.ones_like(av)
+        ratios = p[:, n + 1 : 2 * n]
+        plx = jnp.zeros_like(av)
+    return teffs, av, r1, ratios, plx
+
+
+def _scales_batch(tgt, r1, ratios, plx):
+    if tgt.fit_plx:
+        base = (r1 * RSUN_CM * plx / PC_CM) ** 2
+        return jnp.concatenate([base[:, None], base[:, None] * ratios**2], axis=1)
+    return jnp.concatenate([jnp.ones_like(r1)[:, None], ratios**2], axis=1)
+
+
+def mist_logg_batch(tgt, teffs):
+    return jnp.matmul(tent_weights(tgt.mist_teff_nodes, teffs), tgt.mist_logg_nodes,
+                      precision=_HI)
+
+
+def mist_radius_batch(tgt, teffs):
+    lum = jnp.matmul(tent_weights(tgt.mist_teff_nodes, teffs), tgt.mist_lum_nodes,
+                     precision=_HI)
+    return jnp.sqrt(lum * LSUN / (4.0 * jnp.pi * SIGMA_SB * teffs**4)) / RSUN
+
+
+def _forward_small(p, tgt: PackedTarget):
+    """Everything except the model-spectrum matmul: weights + band fluxes."""
+    n = tgt.nspec
+    teffs, av, r1, ratios, plx = _unpack_batch(p, tgt)
+    scales = _scales_batch(tgt, r1, ratios, plx)  # [nw, nspec]
+    loggs = mist_logg_batch(tgt, teffs)  # [nw, nspec]
+
+    Wt = tent_weights(tgt.temps, teffs)  # [nw, nspec, nT]
+    Wg = tent_weights(tgt.loggs, loggs)  # [nw, nspec, nG]
+    Wk = jnp.einsum("wst,wsg->wstg", Wt, Wg)
+    nw = p.shape[0]
+    nT, nG, nd = tgt.D.shape
+    Wk = Wk.reshape(nw, n, nT * nG)  # per-component grid weights
+    Wcomb = jnp.einsum("ws,wso->wo", scales, Wk, precision=_HI)  # [nw, nT*nG]
+
+    tiny = jnp.asarray(jnp.finfo(p.dtype).tiny, dtype=p.dtype)
+    cflux = jnp.einsum("wso,oc->wsc", Wk, tgt.Fc.reshape(nT * nG, -1), precision=_HI)
+    cflux = cflux * scales[..., None]
+    mags = -2.5 * jnp.log10(jnp.maximum(cflux, tiny))  # [nw, nspec, nc]
+    if n == 2:
+        contrasts = mags[:, 1, :] - mags[:, 0, :]
+    else:
+        nc = tgt.n_contrast
+        idx = jnp.arange(nc)
+        contrasts = jnp.where(idx[None, :] < nc // 2,
+                              mags[:, 1, :] - mags[:, 0, :],
+                              mags[:, 2, :] - mags[:, 0, :])
+
+    pflux = jnp.matmul(Wcomb, tgt.Fp.reshape(nT * nG, -1), precision=_HI)  # [nw, npf]
+    phot = -2.5 * jnp.log10(jnp.maximum(pflux / tgt.phot_zp, tiny))
+    return contrasts, phot, scales, Wk, Wcomb
+
+
+def forward_batch(p, tgt: PackedTarget):
+    """(model [nw,nd], contrasts [nw,nc], phot [nw,npf], scales, Wk)."""
+    contrasts, phot, scales, Wk, Wcomb = _forward_small(p, tgt)
+    nT, nG, nd = tgt.D.shape
+    model = jnp.matmul(Wcomb, tgt.D.reshape(nT * nG, nd), precision=_HI)
+    return model, contrasts, phot, scales, Wk
+
+
+def _spec_chi2_xla(Wcomb, av, tgt: PackedTarget):
+    """Fallback spectrum chi^2 (mean over data points) in pure XLA."""
+    nT, nG, nd = tgt.D.shape
+    model_raw = jnp.matmul(Wcomb, tgt.D.reshape(nT * nG, nd), precision=_HI)
+    apply_ext = (av > 0)[:, None]
+    trans = jnp.where(
+        apply_ext,
+        jnp.exp((-0.4 * jnp.log(10.0)) * av[:, None] * tgt.ext_k_data[None, :]),
+        1.0,
+    )
+    model = model_raw * trans
+    med_d = jnp.median(tgt.data_flux)
+    model = model * (med_d / jnp.median(model, axis=1))[:, None]
+    frac = tgt.data_flux[None, :] / model
+    coeffs = jnp.matmul(frac, tgt.Vpinv.T, precision=_HI)  # [nw, 3]
+    data_renorm = tgt.data_flux[None, :] / jnp.matmul(coeffs, tgt.V.T, precision=_HI)
+    return jnp.mean(((model - data_renorm) / tgt.data_err) ** 2, axis=1)
+
+
+def _chi2_terms_batch(p, tgt: PackedTarget, spec_mult):
+    n = tgt.nspec
+    av = p[:, n]
+    contrasts, phot_raw, _, _, Wcomb = _forward_small(p, tgt)
+
+    from mcmc_spec_tpu.utils.flags import use_pallas_spectrum
+
+    if tgt.spectrum_weight == 0.0:
+        # nospec mode: the spectrum term is dropped entirely (mft6_nospec.py)
+        chi_spec = jnp.zeros(p.shape[0], dtype=p.dtype)
+    elif use_pallas_spectrum(p.dtype):
+        from mcmc_spec_tpu.ops.pallas_kernels import spectrum_chi2
+
+        nT, nG, nd = tgt.D.shape
+        chi_spec = spectrum_chi2(
+            Wcomb, av, tgt.D.reshape(nT * nG, nd), tgt.ext_k_data,
+            tgt.data_flux, tgt.data_err, tgt.V, tgt.Vpinv,
+            jnp.median(tgt.data_flux),
+        )
+    else:
+        chi_spec = _spec_chi2_xla(Wcomb, av, tgt)
+
+    apply_ext = (av > 0)[:, None]
+    phot = jnp.where(apply_ext, phot_raw + av[:, None] * tgt.ext_k_cwl[None, :], phot_raw)
+    chi_c = jnp.sum(((contrasts - tgt.cmag) / tgt.cerr) ** 2, axis=1)
+    chi_p = jnp.sum(((phot - tgt.pmag) / tgt.perr) ** 2, axis=1)
+
+    if tgt.fit_plx:
+        weight = spec_mult * (tgt.n_contrast + tgt.n_phot)
+    else:
+        weight = spec_mult * tgt.n_contrast
+        chi_p = jnp.zeros_like(chi_p)
+    return tgt.spectrum_weight * weight * chi_spec, chi_c, chi_p
+
+
+def chi2_total_batch(p, tgt: PackedTarget, spec_mult=1.0):
+    a, b, c = _chi2_terms_batch(p, tgt, spec_mult)
+    return a + b + c
+
+
+def log_likelihood_batch(p, tgt: PackedTarget):
+    cs = chi2_total_batch(p, tgt, spec_mult=1.0)
+    return jnp.where(jnp.isnan(cs), -jnp.inf, -0.5 * cs)
+
+
+def _bounds_ok_batch(p, tgt: PackedTarget):
+    n = tgt.nspec
+    teffs, av, r1, ratios, plx = _unpack_batch(p, tgt)
+    ok = jnp.all(teffs <= tgt.tmax, axis=1) & jnp.all(teffs >= tgt.tmin, axis=1) & (av >= 0)
+    ok &= jnp.all(ratios >= 0.05, axis=1)
+    if tgt.fit_plx:
+        ok &= r1 >= 0.05
+        if tgt.dist_fit:
+            if n == 2:
+                ok &= (r1 <= 1.5) & (plx >= 1.0 / 3000.0) & (plx <= 0.25)
+            else:
+                ok &= (plx >= 1.0 / 1000.0) & (plx <= 0.25)
+    return ok
+
+
+def log_prior_batch(p, tgt: PackedTarget):
+    n = tgt.nspec
+    teffs, av, r1, ratios, plx = _unpack_batch(p, tgt)
+    lp = jnp.zeros(p.shape[0], dtype=p.dtype)
+
+    if tgt.fit_plx:
+        dist_pc = 1.0 / jnp.maximum(plx, 1e-12)
+        logd = jnp.log(jnp.maximum(dist_pc, 1e-3))
+        w = tent_weights(tgt.av_logd_nodes, logd)
+        mu = jnp.matmul(w, tgt.av_mu_nodes, precision=_HI)
+        sig = jnp.matmul(w, tgt.av_sig_nodes, precision=_HI)
+        lp += -0.5 * ((av - mu) / sig) ** 2
+
+    active = (tgt.prior_mu != 0)[None, :]
+    lp += jnp.sum(
+        jnp.where(active, -0.5 * ((p - tgt.prior_mu[None, :]) / tgt.prior_sig[None, :]) ** 2, 0.0),
+        axis=1,
+    )
+
+    if tgt.rad_prior:
+        mrad = mist_radius_batch(tgt, teffs)  # [nw, nspec]
+        m1 = mrad[:, 0]
+        model_vals = jnp.concatenate([m1[:, None], mrad[:, 1:] / m1[:, None]], axis=1)
+        if tgt.fit_plx:
+            rvals = jnp.concatenate([r1[:, None], ratios], axis=1)
+        else:
+            rvals = ratios
+            model_vals = model_vals[:, 1:]
+        lp += jnp.sum(-0.5 * ((rvals - model_vals) / (0.02 * model_vals)) ** 2, axis=1)
+
+    ok = _bounds_ok_batch(p, tgt)
+    return jnp.where(ok, lp, -jnp.inf)
+
+
+def log_posterior_batch(p, tgt: PackedTarget):
+    """Batched ``logposterior``: the sampler hot path."""
+    lp = log_prior_batch(p, tgt)
+    ll = log_likelihood_batch(p, tgt)
+    return jnp.where(jnp.isfinite(lp), lp + ll, -jnp.inf)
+
+
+def optimizer_chi2_batch(p, tgt: PackedTarget, rad_sigma=None):
+    """Batched ``fit_spec`` chi^2 (x3 spectrum weight + chi^2-convention priors).
+
+    ``rad_sigma``: [nw, n_rad] step-size sigmas from the annealer (mft6.py:1042).
+    """
+    n = tgt.nspec
+    teffs, av, r1, ratios, plx = _unpack_batch(p, tgt)
+    cs = chi2_total_batch(p, tgt, spec_mult=3.0)
+
+    if tgt.fit_plx:
+        dist_pc = 1.0 / jnp.maximum(plx, 1e-12)
+        logd = jnp.log(jnp.maximum(dist_pc, 1e-3))
+        w = tent_weights(tgt.av_logd_nodes, logd)
+        mu = jnp.matmul(w, tgt.av_mu_nodes, precision=_HI)
+        sig = jnp.matmul(w, tgt.av_sig_nodes, precision=_HI)
+        cs += ((av - mu) / sig) ** 2
+        if tgt.dist_fit:
+            active = tgt.prior_mu[-1] != 0
+            cs += jnp.where(active, ((plx - tgt.prior_mu[-1]) / tgt.prior_sig[-1]) ** 2, 0.0)
+
+    if tgt.rad_prior:
+        mrad = mist_radius_batch(tgt, teffs)
+        m1 = mrad[:, 0]
+        model_vals = jnp.concatenate([m1[:, None], mrad[:, 1:] / m1[:, None]], axis=1)
+        rvals = jnp.concatenate([r1[:, None], ratios], axis=1) if tgt.fit_plx else ratios
+        if not tgt.fit_plx:
+            model_vals = model_vals[:, 1:]
+        if rad_sigma is None:
+            rad_sigma = 0.05 * rvals
+        cs += jnp.sum(((rvals - model_vals) / rad_sigma) ** 2, axis=1)
+    return cs

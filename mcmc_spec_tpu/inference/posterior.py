@@ -31,27 +31,28 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from mcmc_spec_tpu.inference.target import PC_CM, RSUN_CM, PackedTarget
-from mcmc_spec_tpu.models.mist import uniform_interp
+from mcmc_spec_tpu.models.mist import LSUN, RSUN, SIGMA_SB
 from mcmc_spec_tpu.ops.continuum import continuum_renorm
-from mcmc_spec_tpu.ops.interp import bilinear_bracket, bilinear_gather_blend
+from mcmc_spec_tpu.ops.interp import bilinear_bracket, bilinear_gather_blend, pwl_interp, tent_weights
 
 
 def mist_logg(tgt: PackedTarget, teff):
     """MIST 1-Gyr logg(Teff) lookup (reference ``get_logg``, mft6.py:87-98)."""
-    return uniform_interp(tgt.mist_teff_lo, tgt.mist_teff_step, tgt.mist_logg_tab, teff)
+    return pwl_interp(tgt.mist_teff_nodes, tgt.mist_logg_nodes, teff)
 
 
 def mist_radius(tgt: PackedTarget, teff):
-    """MIST 1-Gyr radius(Teff) lookup (reference ``get_radius``, mft6.py:66-85)."""
-    return uniform_interp(tgt.mist_teff_lo, tgt.mist_teff_step, tgt.mist_radius_tab, teff)
+    """MIST 1-Gyr radius(Teff) lookup (reference ``get_radius``, mft6.py:66-85):
+    interpolate L(Teff), then Stefan-Boltzmann at the query Teff."""
+    lum = pwl_interp(tgt.mist_teff_nodes, tgt.mist_lum_nodes, teff)
+    return jnp.sqrt(lum * LSUN / (4.0 * jnp.pi * SIGMA_SB * teff**4)) / RSUN
 
 
 def av_prior_mu_sig(tgt: PackedTarget, dist_pc):
     """Precomputed Bayestar LOS prior at a distance (replaces mft6.py:1233-1239)."""
     logd = jnp.log(jnp.maximum(dist_pc, 1e-3))
-    mu = uniform_interp(tgt.av_logd_lo, tgt.av_logd_step, tgt.av_mu_tab, logd)
-    sig = uniform_interp(tgt.av_logd_lo, tgt.av_logd_step, tgt.av_sig_tab, logd)
-    return mu, sig
+    w = tent_weights(tgt.av_logd_nodes, logd)
+    return w @ tgt.av_mu_nodes, w @ tgt.av_sig_nodes
 
 
 class ForwardOut(NamedTuple):

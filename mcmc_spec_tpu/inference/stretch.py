@@ -50,7 +50,7 @@ def _half_update(carry, half, log_prob_fn, a):
 
     cur = coords[sl]
     proposal = partners + z[:, None] * (cur - partners)
-    logp_new = jax.vmap(log_prob_fn)(proposal)
+    logp_new = log_prob_fn(proposal)
 
     log_ratio = (ndim - 1) * jnp.log(z) + logp_new - logp[sl]
     accept = jnp.log(jax.random.uniform(ka, (m,))) < log_ratio
@@ -71,8 +71,9 @@ def stretch_step(state: EnsembleState, log_prob_fn: Callable, a: float = 2.0) ->
 
 
 def init_ensemble(coords, log_prob_fn, key) -> EnsembleState:
+    """Initialise the ensemble; ``log_prob_fn`` maps [n, ndim] -> [n]."""
     coords = jnp.asarray(coords)
-    logp = jax.vmap(log_prob_fn)(coords)
+    logp = log_prob_fn(coords)
     return EnsembleState(coords, logp, key, jnp.zeros((), jnp.int32))
 
 

@@ -87,15 +87,14 @@ class PackedTarget:
     pmag: Any  # [npf]
     perr: Any  # [npf]
 
-    # --- lookup tables
-    mist_teff_lo: Any
-    mist_teff_step: Any
-    mist_logg_tab: Any  # [nm]
-    mist_radius_tab: Any  # [nm]
-    av_logd_lo: Any
-    av_logd_step: Any
-    av_mu_tab: Any  # [nav]
-    av_sig_tab: Any  # [nav]
+    # --- lookup tables (original interpolation nodes; tent-basis interp on
+    # device is gather-free and matches host np.interp exactly)
+    mist_teff_nodes: Any  # [nm]
+    mist_logg_nodes: Any  # [nm]
+    mist_lum_nodes: Any  # [nm]
+    av_logd_nodes: Any  # [nav]
+    av_mu_nodes: Any  # [nav]
+    av_sig_nodes: Any  # [nav]
 
     # --- prior scalars
     tmin: Any
@@ -125,8 +124,8 @@ jax.tree_util.register_dataclass(
     data_fields=[
         "temps", "loggs", "D", "data_flux", "data_err", "ext_k_data", "V", "Vpinv",
         "Fc", "cmag", "cerr", "Fp", "phot_zp", "ext_k_cwl", "pmag", "perr",
-        "mist_teff_lo", "mist_teff_step", "mist_logg_tab", "mist_radius_tab",
-        "av_logd_lo", "av_logd_step", "av_mu_tab", "av_sig_tab",
+        "mist_teff_nodes", "mist_logg_nodes", "mist_lum_nodes",
+        "av_logd_nodes", "av_mu_nodes", "av_sig_nodes",
         "tmin", "tmax", "prior_mu", "prior_sig",
     ],
     meta_fields=["nspec", "dist_fit", "rad_prior", "fit_plx", "spectrum_weight"],
@@ -186,8 +185,8 @@ def pack_target(
 
     V, Vpinv = polyfit_renorm_matrix(data_wl_aa, deg=2)
 
-    mist_lo, mist_step, mist_logg, mist_rad = mist.device_tables(dtype)
-    av_lo, av_step, av_mu, av_sig = av_profile.device_tables(dtype=dtype)
+    mist_teff, mist_logg, mist_lum = mist.device_nodes(dtype)
+    av_logd, av_mu, av_sig = av_profile.device_nodes(dtype)
 
     ndim = 2 * nspec + 2 if fit_plx else nspec + 2
     if prior_mu is None:
@@ -220,14 +219,12 @@ def pack_target(
         else as_dev(np.zeros(0)),
         pmag=as_dev(pmag),
         perr=as_dev(perr),
-        mist_teff_lo=mist_lo,
-        mist_teff_step=mist_step,
-        mist_logg_tab=mist_logg,
-        mist_radius_tab=mist_rad,
-        av_logd_lo=av_lo,
-        av_logd_step=av_step,
-        av_mu_tab=av_mu,
-        av_sig_tab=av_sig,
+        mist_teff_nodes=mist_teff,
+        mist_logg_nodes=mist_logg,
+        mist_lum_nodes=mist_lum,
+        av_logd_nodes=av_logd,
+        av_mu_nodes=av_mu,
+        av_sig_nodes=av_sig,
         tmin=as_dev(float(grid.temps.min())),
         tmax=as_dev(float(grid.temps.max())),
         prior_mu=as_dev(prior_mu),

@@ -73,6 +73,14 @@ class AvProfile:
         return cls(d, mu, sig)
 
     # ------------------------------------------------------------- device form
+    def device_nodes(self, dtype=jnp.float32):
+        """(log_d_nodes, mu_nodes, sig_nodes) for gather-free tent interp."""
+        return (
+            jnp.asarray(np.log(self.dist_pc), dtype=dtype),
+            jnp.asarray(self.av_mu, dtype=dtype),
+            jnp.asarray(self.av_sig, dtype=dtype),
+        )
+
     def device_tables(self, n=256, dtype=jnp.float32):
         """(log_d_lo, log_d_step, mu_tab, sig_tab) on a uniform log-distance grid."""
         log_d = np.log(self.dist_pc)

@@ -166,8 +166,22 @@ class MistTable:
         return np.interp(teff, self._teff_nodes, self._lum_nodes)
 
     # --------------------------------------------------------- device lookups
+    def device_nodes(self, dtype=jnp.float32):
+        """(teff_nodes, logg_nodes, lum_nodes) for gather-free tent interp.
+
+        Using the original isochrone nodes (not a uniform resample) makes the
+        device lookups match the host ``np.interp`` exactly; the radius lookup
+        interpolates luminosity and applies Stefan-Boltzmann at the query Teff,
+        exactly like the host ``get_radius`` (and the reference, mft6.py:76-83).
+        """
+        return (
+            jnp.asarray(self._teff_nodes, dtype=dtype),
+            jnp.asarray(self._logg_nodes, dtype=dtype),
+            jnp.asarray(self._lum_nodes, dtype=dtype),
+        )
+
     def device_tables(self, dtype=jnp.float32):
-        """(teff_lo, teff_step, logg_tab, radius_tab) as jnp arrays."""
+        """(teff_lo, teff_step, logg_tab, radius_tab) uniform-grid variant."""
         return (
             jnp.asarray(self.teff_lo, dtype=dtype),
             jnp.asarray(self.teff_step, dtype=dtype),

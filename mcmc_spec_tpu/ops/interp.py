@@ -71,6 +71,36 @@ def bilinear_bracket(axis_vals, q):
     return i, w
 
 
+def tent_weights(nodes, q):
+    """Piecewise-linear (tent/hat) basis weights, branchless and gather-free.
+
+    ``w[..., j]`` is node j's linear-interpolation weight for query ``q``:
+    ``tent_weights(nodes, q) @ ys == np.interp(q, nodes, ys)`` exactly
+    (including edge clamping).  TPU-motivated: a per-query scalar gather from
+    even a 1k-entry table costs ~1 ms per 8k queries on TPU, while this
+    formulation is a [..., n_nodes] broadcast + matvec that vectorizes freely
+    and feeds the MXU.
+    """
+    nodes = jnp.asarray(nodes)
+    q = jnp.asarray(q)[..., None]
+    prev = jnp.concatenate([nodes[:1] - 1.0, nodes[:-1]])
+    nxt = jnp.concatenate([nodes[1:], nodes[-1:] + 1.0])
+    left = (q - prev) / (nodes - prev)
+    right = (nxt - q) / (nxt - nodes)
+    w = jnp.clip(jnp.minimum(left, right), 0.0, 1.0)
+    # edge clamping: the first/last node keeps full weight outside the range
+    w0 = jnp.clip((nodes[1] - q[..., 0]) / (nodes[1] - nodes[0]), 0.0, 1.0)
+    wn = jnp.clip((q[..., 0] - nodes[-2]) / (nodes[-1] - nodes[-2]), 0.0, 1.0)
+    w = w.at[..., 0].set(w0)
+    w = w.at[..., -1].set(wn)
+    return w
+
+
+def pwl_interp(xs, ys, q):
+    """``np.interp(q, xs, ys)`` as a tent-basis matvec (jit/vmap-safe, no gathers)."""
+    return tent_weights(xs, q) @ jnp.asarray(ys)
+
+
 def bilinear_gather_blend(table, ti, tw, gi, gw):
     """Bilinearly blend ``table[nT, nG, ...]`` at fractional indices (jit-safe).
 

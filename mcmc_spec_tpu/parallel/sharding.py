@@ -34,7 +34,7 @@ def shard_ensemble_state(coords, log_prob_fn, key, mesh: Mesh, axis="walkers"):
     ndev = mesh.shape[axis]
     assert nw % (2 * ndev) == 0, f"nw={nw} must divide by 2*{ndev}"
     coords2 = jnp.asarray(coords).reshape(2, nw // 2, ndim)
-    logp2 = jax.vmap(jax.vmap(log_prob_fn))(coords2)
+    logp2 = log_prob_fn(jnp.asarray(coords)).reshape(2, nw // 2)
     sh = NamedSharding(mesh, P(None, axis))
     coords2 = jax.device_put(coords2, sh)
     logp2 = jax.device_put(logp2, sh)
@@ -61,7 +61,7 @@ def _half_update_local(coords2, logp2, key, n_acc, half, log_prob_fn, a, axis):
 
     cur = coords2[half]
     proposal = partners + z[:, None] * (cur - partners)
-    logp_new = jax.vmap(log_prob_fn)(proposal)
+    logp_new = log_prob_fn(proposal)
     log_ratio = (ndim - 1) * jnp.log(z) + logp_new - logp2[half]
     accept = jnp.log(jax.random.uniform(ka, (nh_local,))) < log_ratio
 
@@ -82,7 +82,7 @@ def sharded_log_prob(log_prob_fn: Callable, mesh: Mesh, axis="walkers"):
         check_vma=False,
     )
     def batched(coords):
-        return jax.vmap(log_prob_fn)(coords)
+        return log_prob_fn(coords)
 
     return batched
 

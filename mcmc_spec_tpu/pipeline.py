@@ -26,7 +26,7 @@ import numpy as np
 
 from mcmc_spec_tpu.inference.anneal import init_walkers, run_anneal
 from mcmc_spec_tpu.inference.autocorr import converged, integrated_time
-from mcmc_spec_tpu.inference.posterior import log_posterior
+from mcmc_spec_tpu.inference.batched import log_posterior_batch
 from mcmc_spec_tpu.inference.stretch import init_ensemble, run_ensemble
 from mcmc_spec_tpu.inference.target import PackedTarget, pack_target
 from mcmc_spec_tpu.io import results as results_io
@@ -243,7 +243,7 @@ def run_mcmc_stage(
     if len(np.unique(p0[:, 0])) < len(p0):
         p0 = p0 * (1 + 1e-6 * np.random.RandomState(cfg.seed).randn(*p0.shape))
 
-    logp = lambda p: log_posterior(p, tgt)
+    logp = lambda batch: log_posterior_batch(batch, tgt)
     key = jax.random.PRNGKey(cfg.seed + 1)
     state = init_ensemble(jnp.asarray(p0, dtype=tgt.data_flux.dtype), logp, key)
 

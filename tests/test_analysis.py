@@ -1,0 +1,110 @@
+"""Planet population analysis on a synthetic fixture."""
+import os
+
+import numpy as np
+import pytest
+
+from mcmc_spec_tpu.analysis.planets import (
+    SystemPosteriors,
+    max_greenhouse_limit,
+    population_analysis,
+    recent_venus,
+    revise_planet,
+    runaway_greenhouse,
+)
+
+
+class TestHZLimits:
+    def test_solar_values(self):
+        # at Teff=5780 the polynomials reduce to their constant terms
+        assert abs(max_greenhouse_limit(5780.0) - 0.356) < 1e-12
+        assert abs(recent_venus(5780.0) - 1.776) < 1e-12
+        assert abs(runaway_greenhouse(5780.0) - 1.107) < 1e-12
+
+    def test_ordering(self):
+        for t in [3500.0, 4500.0, 5780.0, 6500.0]:
+            assert max_greenhouse_limit(t) < runaway_greenhouse(t) < recent_venus(t)
+
+
+def _fake_system(tmp_path, name="0042", n=500, seed=0):
+    rng = np.random.RandomState(seed)
+    d = tmp_path / f"koi{name}"
+    d.mkdir()
+    t1 = rng.normal(4800, 60, n)
+    t2 = rng.normal(3500, 80, n)
+    av = np.abs(rng.normal(0.1, 0.02, n))
+    r1 = rng.normal(0.75, 0.03, n)
+    ratio = rng.normal(0.45, 0.02, n)
+    plx = rng.normal(2e-3, 0.05e-3, n)
+    np.savetxt(d / "samples.txt", np.column_stack([t1, t2, av, r1, ratio, plx]))
+    kc = rng.normal(2.5, 0.1, n)
+    np.savetxt(d / "pri_corr.txt", np.sqrt(1 + 10 ** (-0.4 * kc)))
+    np.savetxt(d / "sec_corr.txt", ratio * np.sqrt(1 + 10 ** (0.4 * kc)))
+    np.savetxt(d / "primary_mass_posterior.txt", rng.normal(0.78, 0.02, n))
+    np.savetxt(d / "secondary_mass_posterior.txt", rng.normal(0.40, 0.02, n))
+    np.savetxt(d / "primary_lum_posterior.txt", rng.normal(0.35, 0.02, n))
+    np.savetxt(d / "secondary_lum_posterior.txt", rng.normal(0.03, 0.005, n))
+    return str(d), name
+
+
+class TestSystemPosteriors:
+    def test_load(self, tmp_path):
+        d, name = _fake_system(tmp_path)
+        sp = SystemPosteriors.from_dir(d, name)
+        assert len(sp.t1) == 500
+        assert abs(np.median(sp.t1) - 4800) < 30
+
+
+class TestRevisePlanet:
+    def test_primary_dilution_grows_radius(self, tmp_path):
+        d, name = _fake_system(tmp_path)
+        sp = SystemPosteriors.from_dir(d, name)
+        rev = revise_planet(sp, kep_rstar=0.75, kep_rstar_err=0.02, kep_teff=4800,
+                            kep_teff_err=100, planet_radius=1.5, planet_radius_err=0.1,
+                            planet_teq=700, period_yr=0.05, period_err_yr=1e-4)
+        # pri_prcf > 1 always, so revised radius grows on average
+        assert np.mean(rev["rp_pri"]) > 1.5
+        # secondary-host hypothesis gives a much larger planet
+        assert np.mean(rev["rp_sec"]) > np.mean(rev["rp_pri"])
+        # Teq around the secondary is cooler
+        assert np.mean(rev["teq_sec"]) < np.mean(rev["teq_pri"])
+        # instellation positive
+        assert np.all(rev["s_pri"] > 0)
+
+
+class TestPopulation:
+    def test_full_pass(self, tmp_path):
+        import pandas as pd
+
+        systems = []
+        for i, name in enumerate(["0042", "0043", "0044"]):
+            d, _ = _fake_system(tmp_path, name, seed=i)
+            systems.append(SystemPosteriors.from_dir(d, name))
+        star_catalog = pd.DataFrame(dict(
+            system=["0042", "0043", "0044"],
+            kep_teff=[4700.0, 4750.0, 4800.0], kep_teff_err=[100.0] * 3,
+            kep_rstar=[0.7, 0.72, 0.74], kep_rstar_err=[0.03] * 3,
+            kep_mstar=[0.75, 0.76, 0.77],
+            kep_pri_prcf=[1.02, 1.03, 1.04], kep_sec_prcf=[2.0, 2.1, 2.2],
+        ))
+        planet_catalog = pd.DataFrame(dict(
+            system=["0042", "0042", "0043", "0044"],
+            pname=["42.01", "42.02", "43.01", "44.01"],
+            radius=[1.4, 2.1, 1.1, 1.8], radius_err=[0.1, 0.15, 0.1, 0.12],
+            teq=[700.0, 500.0, 800.0, 650.0],
+            period=[0.05, 0.1, 0.03, 0.07], period_err=[1e-4] * 4,
+            s=[100.0, 30.0, 180.0, 80.0], s_err=[10.0, 3.0, 18.0, 8.0],
+        ))
+        out = str(tmp_path / "pop")
+        cks_r = np.random.RandomState(1).uniform(0.8, 3.0, 200)
+        ds, dp, stats = population_analysis(
+            systems, star_catalog, planet_catalog, out_dir=out, cks_radii=cks_r,
+        )
+        assert len(ds) == 3
+        assert len(dp) == 4
+        assert stats["n_stars"] == 3
+        assert "anderson_darling_stat" in stats
+        for art in ["star_params.txt", "revised_radii_teq.txt", "teff_diff.pdf",
+                    "teff_hist.pdf", "radius_hist.pdf", "rp_diff_primary.pdf",
+                    "s_vs_r_primary.pdf", "prcf_compare.pdf", "p_vs_r_primary.pdf"]:
+            assert os.path.exists(os.path.join(out, art)), art

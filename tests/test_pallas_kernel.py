@@ -1,0 +1,75 @@
+"""Pallas spectrum-chi2 kernel semantics (interpret mode on CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tests.helpers import make_setup
+from mcmc_spec_tpu.inference import batched
+from mcmc_spec_tpu.ops.pallas_kernels import (
+    _row_median_nonneg,
+    spectrum_chi2,
+)
+
+
+class TestRadixMedian:
+    """The sort-free median must equal np.median bit-for-bit."""
+
+    def test_matches_np_median_even(self):
+        rng = np.random.RandomState(0)
+        for scale in [1.0, 1e-15, 1e6]:
+            m = jnp.asarray(np.abs(rng.randn(16, 64)) * scale, jnp.float32)
+            got = np.asarray(_row_median_nonneg(m))[:, 0]
+            exp = np.median(np.asarray(m), axis=1)
+            np.testing.assert_array_equal(got, exp)
+
+    def test_matches_np_median_odd(self):
+        rng = np.random.RandomState(1)
+        m = jnp.asarray(np.abs(rng.randn(8, 63)), jnp.float32)
+        got = np.asarray(_row_median_nonneg(m))[:, 0]
+        np.testing.assert_array_equal(got, np.median(np.asarray(m), axis=1))
+
+    def test_duplicates(self):
+        m = jnp.asarray(np.array([[1.0, 2.0, 2.0, 3.0], [5.0, 5.0, 5.0, 5.0]]), jnp.float32)
+        got = np.asarray(_row_median_nonneg(m))[:, 0]
+        np.testing.assert_array_equal(got, np.median(np.asarray(m), axis=1))
+
+    def test_with_zeros(self):
+        m = jnp.asarray(np.array([[0.0, 0.0, 1.0, 2.0]]), jnp.float32)
+        got = float(_row_median_nonneg(m)[0, 0])
+        assert got == 0.5
+
+
+class TestSpectrumChi2Kernel:
+    def test_matches_xla_fallback(self):
+        st, tgt = make_setup(dtype=jnp.float32)
+        rng = np.random.RandomState(3)
+        p = st["p_truth"]
+        P = jnp.asarray(
+            np.stack([p * (1 + 0.02 * rng.randn(6)) for _ in range(16)]), jnp.float32
+        )
+        contrasts, phot, scales, Wk, Wcomb = batched._forward_small(P, tgt)
+        av = P[:, 2]
+        nT, nG, nd = tgt.D.shape
+        got = np.asarray(spectrum_chi2(
+            Wcomb, av, tgt.D.reshape(nT * nG, nd), tgt.ext_k_data,
+            tgt.data_flux, tgt.data_err, tgt.V, tgt.Vpinv,
+            jnp.median(tgt.data_flux), interpret=True,
+        ))
+        ref = np.asarray(batched._spec_chi2_xla(Wcomb, av, tgt))
+        np.testing.assert_allclose(got, ref, rtol=5e-5)
+
+    def test_av_zero_branch(self):
+        st, tgt = make_setup(dtype=jnp.float32)
+        p = st["p_truth"].copy()
+        p[2] = 0.0  # no extinction applied when Av <= 0 (mft6.py:1161-1166)
+        P = jnp.asarray(np.stack([p, p]), jnp.float32)
+        _, _, _, _, Wcomb = batched._forward_small(P, tgt)
+        nT, nG, nd = tgt.D.shape
+        got = np.asarray(spectrum_chi2(
+            Wcomb, P[:, 2], tgt.D.reshape(nT * nG, nd), tgt.ext_k_data,
+            tgt.data_flux, tgt.data_err, tgt.V, tgt.Vpinv,
+            jnp.median(tgt.data_flux), interpret=True,
+        ))
+        ref = np.asarray(batched._spec_chi2_xla(Wcomb, P[:, 2], tgt))
+        np.testing.assert_allclose(got, ref, rtol=5e-5)

@@ -11,7 +11,8 @@ from mcmc_spec_tpu.inference.stretch import (
     acceptance_fraction,
 )
 from mcmc_spec_tpu.inference.anneal import run_anneal, init_walkers
-from mcmc_spec_tpu.inference.posterior import log_posterior, optimizer_chi2
+from mcmc_spec_tpu.inference.posterior import optimizer_chi2
+from mcmc_spec_tpu.inference.batched import log_posterior_batch, optimizer_chi2_batch
 from mcmc_spec_tpu.parallel.mesh import make_mesh
 from mcmc_spec_tpu.parallel.sharding import shard_ensemble_state, run_ensemble_sharded
 from tests.helpers import make_setup
@@ -27,9 +28,9 @@ class TestStretchOnGaussian:
         icov = jnp.asarray(np.linalg.inv(self.cov))
         mu = jnp.asarray(self.mean)
 
-        def logp(x):
-            d = x - mu
-            return -0.5 * d @ icov @ d
+        def logp(batch):
+            d = batch - mu
+            return -0.5 * jnp.einsum("ni,ij,nj->n", d, icov, d)
 
         return logp
 
@@ -71,9 +72,9 @@ class TestStretchSharded:
         icov = jnp.asarray(np.linalg.inv(cov))
         mu = jnp.asarray(mean)
 
-        def logp(x):
-            d = x - mu
-            return -0.5 * d @ icov @ d
+        def logp(batch):
+            d = batch - mu
+            return -0.5 * jnp.einsum("ni,ij,nj->n", d, icov, d)
 
         nw = 64
         coords = mean + 0.2 * jax.random.normal(jax.random.PRNGKey(5), (nw, 3))
@@ -93,7 +94,7 @@ class TestAnnealer:
         st, tgt = setup
         key = jax.random.PRNGKey(7)
         p0 = init_walkers(tgt, 16, st["truth"]["plx"], 0.1e-3, key)
-        chi0 = jax.vmap(lambda p: optimizer_chi2(p, tgt))(p0)
+        chi0 = optimizer_chi2_batch(p0, tgt)
         params, chi, _ = run_anneal(tgt, p0, jax.random.PRNGKey(8), steps=60)
         assert params.shape == p0.shape
         # every walker improved (chi is monotone non-increasing by construction)
@@ -140,7 +141,7 @@ class TestEndToEndPosterior:
         # jitter duplicates slightly so the ensemble is non-degenerate
         rng = np.random.RandomState(0)
         seeds = seeds * (1 + 1e-4 * rng.randn(*seeds.shape))
-        logp = lambda p: log_posterior(p, tgt)
+        logp = lambda batch: log_posterior_batch(batch, tgt)
         state = init_ensemble(jnp.asarray(seeds), logp, jax.random.PRNGKey(22))
         state, chain, _ = run_ensemble(state, logp, n_steps=1500, thin=5)
         samples = np.asarray(chain[100:]).reshape(-1, 6)

@@ -122,12 +122,19 @@ def _spec_chi2_xla(Wcomb, av, tgt: PackedTarget):
         1.0,
     )
     model = model_raw * trans
-    med_d = jnp.median(tgt.data_flux)
-    model = model * (med_d / jnp.median(model, axis=1))[:, None]
+    # rank-based median so fleet padding (sentinel 1e30 entries) is ignored
+    srt = jnp.sort(model, axis=1)
+    i0 = (tgt.n_data_true - 1) // 2
+    i1 = tgt.n_data_true // 2
+    med = 0.5 * (jnp.take(srt, i0, axis=1) + jnp.take(srt, i1, axis=1))
+    model = model * (tgt.med_data / med)[:, None]
     frac = tgt.data_flux[None, :] / model
     coeffs = jnp.matmul(frac, tgt.Vpinv.T, precision=_HI)  # [nw, 3]
     data_renorm = tgt.data_flux[None, :] / jnp.matmul(coeffs, tgt.V.T, precision=_HI)
-    return jnp.mean(((model - data_renorm) / tgt.data_err) ** 2, axis=1)
+    resid2 = ((model - data_renorm) / tgt.data_err) ** 2
+    # padded points have err=inf -> exact zero contribution
+    resid2 = jnp.where(jnp.isfinite(resid2), resid2, 0.0)
+    return jnp.sum(resid2, axis=1) / tgt.n_data_true.astype(model.dtype)
 
 
 def _chi2_terms_batch(p, tgt: PackedTarget, spec_mult):
@@ -140,14 +147,13 @@ def _chi2_terms_batch(p, tgt: PackedTarget, spec_mult):
     if tgt.spectrum_weight == 0.0:
         # nospec mode: the spectrum term is dropped entirely (mft6_nospec.py)
         chi_spec = jnp.zeros(p.shape[0], dtype=p.dtype)
-    elif use_pallas_spectrum(p.dtype):
+    elif tgt.spectrum_backend != "xla" and use_pallas_spectrum(p.dtype):
         from mcmc_spec_tpu.ops.pallas_kernels import spectrum_chi2
 
         nT, nG, nd = tgt.D.shape
         chi_spec = spectrum_chi2(
             Wcomb, av, tgt.D.reshape(nT * nG, nd), tgt.ext_k_data,
-            tgt.data_flux, tgt.data_err, tgt.V, tgt.Vpinv,
-            jnp.median(tgt.data_flux),
+            tgt.data_flux, tgt.data_err, tgt.V, tgt.Vpinv, tgt.med_data,
         )
     else:
         chi_spec = _spec_chi2_xla(Wcomb, av, tgt)
@@ -157,10 +163,12 @@ def _chi2_terms_batch(p, tgt: PackedTarget, spec_mult):
     chi_c = jnp.sum(((contrasts - tgt.cmag) / tgt.cerr) ** 2, axis=1)
     chi_p = jnp.sum(((phot - tgt.pmag) / tgt.perr) ** 2, axis=1)
 
+    nc_t = tgt.n_contrast_true.astype(chi_c.dtype)
+    np_t = tgt.n_phot_true.astype(chi_c.dtype)
     if tgt.fit_plx:
-        weight = spec_mult * (tgt.n_contrast + tgt.n_phot)
+        weight = spec_mult * (nc_t + np_t)
     else:
-        weight = spec_mult * tgt.n_contrast
+        weight = spec_mult * nc_t
         chi_p = jnp.zeros_like(chi_p)
     return tgt.spectrum_weight * weight * chi_spec, chi_c, chi_p
 

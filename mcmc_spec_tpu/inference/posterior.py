@@ -160,17 +160,25 @@ def _chi2_terms(p, tgt: PackedTarget, spec_mult):
     phot = jnp.where(apply_ext, out.phot_mags + av * tgt.ext_k_cwl, out.phot_mags)
 
     # median normalisation + polynomial renorm of the data (mft6.py:1172-1174)
-    model = model * (jnp.median(tgt.data_flux) / jnp.median(model))
+    srt = jnp.sort(model)
+    i0 = (tgt.n_data_true - 1) // 2
+    i1 = tgt.n_data_true // 2
+    med = 0.5 * (srt[i0] + srt[i1])
+    model = model * (tgt.med_data / med)
     data_renorm = continuum_renorm(tgt.data_flux, model, tgt.V, tgt.Vpinv)
 
-    chi_spec = jnp.mean(((model - data_renorm) / tgt.data_err) ** 2)
+    resid2 = ((model - data_renorm) / tgt.data_err) ** 2
+    resid2 = jnp.where(jnp.isfinite(resid2), resid2, 0.0)
+    chi_spec = jnp.sum(resid2) / tgt.n_data_true.astype(model.dtype)
     chi_c = jnp.sum(((out.contrasts - tgt.cmag) / tgt.cerr) ** 2)
     chi_p = jnp.sum(((phot - tgt.pmag) / tgt.perr) ** 2)
 
+    nc_t = tgt.n_contrast_true.astype(chi_c.dtype)
+    np_t = tgt.n_phot_true.astype(chi_c.dtype)
     if tgt.fit_plx:
-        weight = spec_mult * (tgt.n_contrast + tgt.n_phot)
+        weight = spec_mult * (nc_t + np_t)
     else:
-        weight = spec_mult * tgt.n_contrast  # mft6.py:1193-1195
+        weight = spec_mult * nc_t  # mft6.py:1193-1195
         chi_p = jnp.zeros_like(chi_p)
     chi_spec_w = tgt.spectrum_weight * weight * chi_spec
     return chi_spec_w, chi_c, chi_p
@@ -287,7 +295,7 @@ def forward_summary(p, tgt: PackedTarget):
     apply_ext = av > 0
     trans = jnp.where(apply_ext, jnp.power(10.0, -0.4 * av * tgt.ext_k_data), 1.0)
     model = out.model_data * trans
-    model = model * (jnp.median(tgt.data_flux) / jnp.median(model))
+    model = model * (tgt.med_data / jnp.median(model))
     phot = jnp.where(apply_ext, out.phot_mags + av * tgt.ext_k_cwl, out.phot_mags)
     return {
         "model_data": model,

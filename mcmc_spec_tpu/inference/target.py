@@ -62,6 +62,7 @@ class PackedTarget:
     rad_prior: bool
     fit_plx: bool  # p0 carries a parallax entry (ndim = 2*nspec+2)
     spectrum_weight: float  # 1.0 reference, 0.0 reproduces mft6_nospec.py
+    spectrum_backend: str  # "auto" | "xla" (fleet-padded targets force "xla")
 
     # --- grid axes
     temps: Any  # [nT]
@@ -102,6 +103,13 @@ class PackedTarget:
     prior_mu: Any  # [ndim] gaussian prior means (0 = disabled), mft6.py:1241-1260
     prior_sig: Any  # [ndim]
 
+    # --- padding-aware statistics (fleet mode pads nd/nc to common shapes;
+    # the *_true counts and the data median always refer to the real points)
+    med_data: Any  # scalar median of the unpadded data flux
+    n_data_true: Any  # scalar int
+    n_contrast_true: Any  # scalar int
+    n_phot_true: Any  # scalar int
+
     @property
     def ndim(self) -> int:
         return 2 * self.nspec + 2 if self.fit_plx else self.nspec + 2
@@ -127,8 +135,10 @@ jax.tree_util.register_dataclass(
         "mist_teff_nodes", "mist_logg_nodes", "mist_lum_nodes",
         "av_logd_nodes", "av_mu_nodes", "av_sig_nodes",
         "tmin", "tmax", "prior_mu", "prior_sig",
+        "med_data", "n_data_true", "n_contrast_true", "n_phot_true",
     ],
-    meta_fields=["nspec", "dist_fit", "rad_prior", "fit_plx", "spectrum_weight"],
+    meta_fields=["nspec", "dist_fit", "rad_prior", "fit_plx", "spectrum_weight",
+                 "spectrum_backend"],
 )
 
 
@@ -154,12 +164,20 @@ def pack_target(
     prior_mu: Optional[np.ndarray] = None,
     prior_sig: Optional[np.ndarray] = None,
     dtype=jnp.float32,
+    pad_nd: Optional[int] = None,
+    pad_nc: Optional[int] = None,
 ) -> PackedTarget:
     """Precompute every linear projection and lookup table for one target.
 
     ``data_*`` must already be masked/windowed/median-normalised (io layer).
     ``phot_zero_flux`` pairs with ``phot_filters`` (AB or Vega zero flux per
     filter, see :mod:`mcmc_spec_tpu.io.filters`).
+
+    ``pad_nd``/``pad_nc`` pad the data/contrast axes to common fleet shapes:
+    padded data points carry infinite error + zero renorm weight and a large
+    sentinel model flux (so rank-based medians ignore them); padded contrast
+    filters carry unit flux and infinite error.  Padded targets force the XLA
+    spectrum backend (the Pallas kernel's median ranks are static).
     """
     data_wl_aa = np.asarray(data_wl_um, dtype=np.float64) * 1e4
 
@@ -194,6 +212,36 @@ def pack_target(
     if prior_sig is None:
         prior_sig = np.ones(ndim)
 
+    n_data_true = len(np.asarray(data_flux))
+    n_contrast_true = len(contrast_filters)
+    n_phot_true = len(phot_filters)
+    med_data = float(np.median(np.asarray(data_flux)))
+    data_flux = np.asarray(data_flux, dtype=np.float64)
+    data_err = np.asarray(data_err, dtype=np.float64)
+    ext_k_data = np.asarray(ccm89(data_wl_aa, 1.0), dtype=np.float64)
+    cmag = np.asarray(cmag, dtype=np.float64)
+    cerr = np.asarray(cerr, dtype=np.float64)
+    backend = "auto"
+
+    if pad_nd is not None and pad_nd > n_data_true:
+        extra = pad_nd - n_data_true
+        backend = "xla"
+        D = np.concatenate([D, np.full((nT, nG, extra), 1e30)], axis=2)
+        data_flux = np.concatenate([data_flux, np.zeros(extra)])
+        data_err = np.concatenate([data_err, np.full(extra, np.inf)])
+        ext_k_data = np.concatenate([ext_k_data, np.zeros(extra)])
+        # renorm: padded rows contribute nothing to the fit (Vpinv cols = 0)
+        # and evaluate to the constant coefficient (V row = [1,0,0]) so the
+        # padded data_renorm is 0/c0 = 0 and the padded residual is 0/inf = 0
+        V = np.concatenate([V, np.tile([[1.0, 0.0, 0.0]], (extra, 1))], axis=0)
+        Vpinv = np.concatenate([Vpinv, np.zeros((3, extra))], axis=1)
+    if pad_nc is not None and pad_nc > n_contrast_true:
+        extra = pad_nc - n_contrast_true
+        backend = "xla"
+        Fc = np.concatenate([Fc, np.ones((nT, nG, extra))], axis=2)
+        cmag = np.concatenate([cmag, np.zeros(extra)])
+        cerr = np.concatenate([cerr, np.full(extra, np.inf)])
+
     as_dev = lambda x: jnp.asarray(np.asarray(x), dtype=dtype)
     return PackedTarget(
         nspec=int(nspec),
@@ -201,12 +249,13 @@ def pack_target(
         rad_prior=bool(rad_prior),
         fit_plx=bool(fit_plx),
         spectrum_weight=float(spectrum_weight),
+        spectrum_backend=backend,
         temps=as_dev(grid.temps),
         loggs=as_dev(grid.loggs),
         D=as_dev(D),
         data_flux=as_dev(data_flux),
         data_err=as_dev(data_err),
-        ext_k_data=as_dev(np.asarray(ccm89(data_wl_aa, 1.0))),
+        ext_k_data=as_dev(ext_k_data),
         V=as_dev(V),
         Vpinv=as_dev(Vpinv),
         Fc=as_dev(Fc),
@@ -229,4 +278,8 @@ def pack_target(
         tmax=as_dev(float(grid.temps.max())),
         prior_mu=as_dev(prior_mu),
         prior_sig=as_dev(prior_sig),
+        med_data=as_dev(med_data),
+        n_data_true=jnp.asarray(n_data_true, jnp.int32),
+        n_contrast_true=jnp.asarray(n_contrast_true, jnp.int32),
+        n_phot_true=jnp.asarray(n_phot_true, jnp.int32),
     )

@@ -198,6 +198,40 @@ def setup_context(cfg: FitConfig, dtype=jnp.float32) -> FitContext:
     )
 
 
+def make_synthetic_observation(
+    ctx: FitContext,
+    teffs,
+    rad1: float,
+    ratios,
+    plx: float,
+    out_path: Optional[str] = None,
+    noise_frac: float = 0.01,
+    seed: int = 0,
+):
+    """Synthetic composite observation with noise (reference mft6.py:3599-3642).
+
+    Builds the composite model at the given parameters on the loaded data
+    wavelength grid, adds ``noise_frac`` Gaussian noise, and writes the
+    3-column ``Data/synth_spec_{T1}_{T2}[_{T3}].txt``-style file.  Returns
+    (wl_um, flux, err) and the true parameter vector.
+    """
+    from mcmc_spec_tpu.report.composite import composite_full
+
+    teffs = list(teffs)
+    ratios = list(np.atleast_1d(ratios))
+    p = np.array(teffs + [0.0, rad1] + ratios + [plx])
+    w, comp, _ = composite_full(ctx.grid, ctx.mist, p, nspec=len(teffs))
+    flux = np.interp(ctx.data_wl_um * 1e4, w, comp)
+    rng = np.random.RandomState(seed)
+    err = rng.normal(0, noise_frac * flux)
+    if out_path is None:
+        tag = "_".join(str(int(t)) for t in teffs)
+        os.makedirs("Data", exist_ok=True)
+        out_path = f"Data/synth_spec_{tag}.txt"
+    np.savetxt(out_path, np.column_stack([ctx.data_wl_um, flux + err, err]))
+    return ctx.data_wl_um, flux + err, err, p
+
+
 def run_optimize_stage(ctx: FitContext, record_thin: int = 500) -> None:
     """Stage 1: vmapped annealing over nwalk walkers (mft6.py:1686-1765)."""
     cfg = ctx.cfg

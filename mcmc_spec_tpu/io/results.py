@@ -76,23 +76,28 @@ def dump_coords(dirname: str, fname: str, step: int, coords: np.ndarray, stage: 
 
 @dataclasses.dataclass
 class Checkpoint:
-    """Exact-resume sampler checkpoint."""
+    """Exact-resume sampler checkpoint (state + chain collected so far)."""
 
     coords: np.ndarray
     log_prob: np.ndarray
     key: np.ndarray
     step: int
     n_accept: int = 0
+    chain: Optional[np.ndarray] = None  # [steps_so_far, nw, ndim]
 
     def save(self, path: str):
-        np.savez_compressed(
-            path,
+        arrays = dict(
             coords=np.asarray(self.coords),
             log_prob=np.asarray(self.log_prob),
             key=np.asarray(self.key),
             step=self.step,
             n_accept=self.n_accept,
         )
+        if self.chain is not None:
+            arrays["chain"] = np.asarray(self.chain)
+        tmp = path + ".tmp.npz"
+        np.savez_compressed(tmp, **arrays)
+        os.replace(tmp, path)  # atomic: a crash mid-write never corrupts
 
     @classmethod
     def load(cls, path: str) -> "Checkpoint":
@@ -103,6 +108,7 @@ class Checkpoint:
             key=z["key"],
             step=int(z["step"]),
             n_accept=int(z["n_accept"]),
+            chain=z["chain"] if "chain" in z.files else None,
         )
 
     @classmethod

@@ -28,6 +28,23 @@ from mcmc_spec_tpu.ops.broaden import instrumental_broaden
 _BTSETTL_RE = re.compile(r"lte(?P<t>[\d.]+)-(?P<g>[\d.]+)-")
 
 
+def btsettl_path(grid_dir: str, teff: float, logg: float) -> str:
+    """Grid-point filename, BT-Settl convention (reference ``find_model``,
+    mft6.py:246-253: ``lte{T/100:03d}-{logg}-0.0a+0.0.BT-Settl.spec.7.txt``)."""
+    t = str(int(teff / 1e2)).zfill(3)
+    return os.path.join(grid_dir, f"lte{t}-{logg}-0.0a+0.0.BT-Settl.spec.7.txt")
+
+
+def hires_path(grid_dir: str, teff: float, logg: float, metal: float = 0.0) -> str:
+    """PHOENIX HiRes convention (mft6.py:238-243)."""
+    t = str(int(teff)).zfill(5)
+    m = str(float(metal)).zfill(3)
+    g = str(float(logg)).zfill(3)
+    return os.path.join(
+        grid_dir, f"lte{t}-{g}0-{m}.PHOENIX-ACES-AGSS-COND-2011-HiRes.fits.txt"
+    )
+
+
 @dataclasses.dataclass
 class SpectralGrid:
     """A rectangular (Teff, logg) grid of model spectra on a shared wl axis."""

@@ -8,6 +8,7 @@ from mcmc_spec_tpu.ops.broaden import (  # noqa: F401
     make_reg,
 )
 from mcmc_spec_tpu.ops.continuum import polyfit_renorm_matrix, continuum_renorm, chisq  # noqa: F401
+from mcmc_spec_tpu.ops.misc import bccorr, find_nearest  # noqa: F401
 from mcmc_spec_tpu.ops.interp import (  # noqa: F401
     linear_interp_matrix,
     interp1d_weights,

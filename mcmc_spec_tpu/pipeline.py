@@ -264,10 +264,16 @@ def run_mcmc_stage(
     ctx: FitContext,
     p0: Optional[np.ndarray] = None,
     nthin: int = 100,
-    checkpoint_every: int = 0,
+    checkpoint_every: int = 1,
     check_convergence: bool = True,
+    resume: bool = True,
 ) -> np.ndarray:
-    """Stage 2: stretch-move MCMC with burn-in, autocorr gate, samples.txt."""
+    """Stage 2: stretch-move MCMC with burn-in, autocorr gate, samples.txt.
+
+    With ``resume=True`` an interrupted run restarts exactly from the last
+    ``chain_checkpoint.npz`` (coordinates, log-probs, RNG key, step index) —
+    the reference's only resumability is re-reading its text dumps.
+    """
     cfg = ctx.cfg
     tgt = ctx.target
     if p0 is None:
@@ -279,23 +285,34 @@ def run_mcmc_stage(
 
     logp = lambda batch: log_posterior_batch(batch, tgt)
     key = jax.random.PRNGKey(cfg.seed + 1)
-    state = init_ensemble(jnp.asarray(p0, dtype=tgt.data_flux.dtype), logp, key)
+    ckpt_path = os.path.join(cfg.dirname, "chain_checkpoint.npz")
+    start_chunk = 0
 
-    # burn-in with thinned dumps (mft6.py:1494-1499)
-    n_chunks_burn = max(cfg.nburn // nthin, 1)
-    for n in range(n_chunks_burn):
-        state, chain, _ = run_ensemble(state, logp, n_steps=nthin, thin=nthin)
-        results_io.dump_coords(cfg.dirname, cfg.fname, n * nthin, np.asarray(chain[-1]),
-                               stage="burnin")
-    state = state._replace(n_accept=jnp.zeros((), jnp.int32))
+    ckpt = results_io.Checkpoint.maybe_load(ckpt_path) if resume else None
+    prior_chain = None
+    if ckpt is not None and ckpt.coords.shape == p0.shape:
+        state = init_ensemble(jnp.asarray(ckpt.coords, dtype=tgt.data_flux.dtype),
+                              logp, jnp.asarray(ckpt.key))
+        state = state._replace(n_accept=jnp.asarray(ckpt.n_accept, jnp.int32))
+        start_chunk = ckpt.step // nthin
+        prior_chain = ckpt.chain
+    else:
+        state = init_ensemble(jnp.asarray(p0, dtype=tgt.data_flux.dtype), logp, key)
+
+        # burn-in with thinned dumps (mft6.py:1494-1499)
+        n_chunks_burn = max(cfg.nburn // nthin, 1)
+        for n in range(n_chunks_burn):
+            state, chain, _ = run_ensemble(state, logp, n_steps=nthin, thin=nthin)
+            results_io.dump_coords(cfg.dirname, cfg.fname, n * nthin,
+                                   np.asarray(chain[-1]), stage="burnin")
+        state = state._replace(n_accept=jnp.zeros((), jnp.int32))
 
     # sampling with autocorrelation-gated early stop (mft6.py:1505-1524)
-    kept = []
+    kept = [] if prior_chain is None else [prior_chain]
     old_taus = None
-    n_done = 0
+    n_done = start_chunk * nthin
     n_chunks = max(cfg.nsteps // nthin, 1)
-    ckpt_path = os.path.join(cfg.dirname, "chain_checkpoint.npz")
-    for n in range(n_chunks):
+    for n in range(start_chunk, n_chunks):
         state, chain, _ = run_ensemble(state, logp, n_steps=nthin, thin=1)
         kept.append(np.asarray(chain))
         n_done += nthin
@@ -305,6 +322,7 @@ def run_mcmc_stage(
             results_io.Checkpoint(
                 np.asarray(state.coords), np.asarray(state.log_prob),
                 np.asarray(state.key), n_done, int(state.n_accept),
+                chain=np.concatenate(kept, axis=0),
             ).save(ckpt_path)
         if check_convergence:
             full = np.concatenate(kept, axis=0)

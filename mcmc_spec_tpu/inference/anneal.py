@@ -189,8 +189,10 @@ def init_walkers(tgt: PackedTarget, nwalk: int, plx: float, plx_err: float, key:
     tmin = tgt.tmin
     tmax = tgt.tmax
     t1 = jax.random.uniform(keys[0], (nwalk,), minval=tmin, maxval=tmax)
-    t2 = jax.random.uniform(keys[1], (nwalk,), minval=tmin, maxval=t1)
-    cols = [t1, t2]
+    cols = [t1]
+    if n >= 2:
+        t2 = jax.random.uniform(keys[1], (nwalk,), minval=tmin, maxval=t1)
+        cols.append(t2)
     if n == 3:
         t3 = jax.random.uniform(keys[2], (nwalk,), minval=tmin, maxval=t2)
         cols.append(t3)
@@ -199,9 +201,10 @@ def init_walkers(tgt: PackedTarget, nwalk: int, plx: float, plx_err: float, key:
     if tgt.fit_plx:
         rmin, rmax = 0.05, 1.0
         r1 = jax.random.uniform(keys[4], (nwalk,), minval=rmin, maxval=rmax)
-        r2 = jax.random.uniform(keys[5], (nwalk,), minval=rmin, maxval=r1)
         cols.append(r1)
-        cols.append(r2 / r1)
+        if n >= 2:
+            r2 = jax.random.uniform(keys[5], (nwalk,), minval=rmin, maxval=r1)
+            cols.append(r2 / r1)
         if n == 3:
             rr2 = r2 / r1
             r3 = jax.random.uniform(keys[6], (nwalk,), minval=rmin, maxval=rr2)

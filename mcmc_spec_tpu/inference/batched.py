@@ -89,7 +89,9 @@ def _forward_small(p, tgt: PackedTarget):
     cflux = jnp.einsum("wso,oc->wsc", Wk, tgt.Fc.reshape(nT * nG, -1), precision=_HI)
     cflux = cflux * scales[..., None]
     mags = -2.5 * jnp.log10(jnp.maximum(cflux, tiny))  # [nw, nspec, nc]
-    if n == 2:
+    if n == 1:
+        contrasts = jnp.zeros((p.shape[0], tgt.n_contrast), dtype=p.dtype)
+    elif n == 2:
         contrasts = mags[:, 1, :] - mags[:, 0, :]
     else:
         nc = tgt.n_contrast
@@ -191,7 +193,7 @@ def _bounds_ok_batch(p, tgt: PackedTarget):
     if tgt.fit_plx:
         ok &= r1 >= 0.05
         if tgt.dist_fit:
-            if n == 2:
+            if n <= 2:
                 ok &= (r1 <= 1.5) & (plx >= 1.0 / 3000.0) & (plx <= 0.25)
             else:
                 ok &= (plx >= 1.0 / 1000.0) & (plx <= 0.25)

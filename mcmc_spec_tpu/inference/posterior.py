@@ -121,7 +121,9 @@ def forward(p, tgt: PackedTarget) -> ForwardOut:
     # binary: c = mag_2 - mag_1; triple: first half vs comp 2, rest vs comp 3.
     cflux = fcs * scales[:, None]  # [nspec, nc]
     mags = -2.5 * jnp.log10(jnp.maximum(cflux, 1e-300))
-    if tgt.nspec == 2:
+    if tgt.nspec == 1:
+        contrasts = jnp.zeros((tgt.n_contrast,), dtype=p.dtype)
+    elif tgt.nspec == 2:
         contrasts = mags[1] - mags[0]
     else:
         nc = tgt.n_contrast
@@ -204,7 +206,7 @@ def _bounds_ok(p, tgt: PackedTarget):
     if tgt.fit_plx:
         ok &= r1 >= 0.05
         if tgt.dist_fit:
-            if n == 2:
+            if n <= 2:
                 ok &= (r1 <= 1.5) & (plx >= 1.0 / 3000.0) & (plx <= 0.25)
             else:
                 ok &= (plx >= 1.0 / 1000.0) & (plx <= 0.25)

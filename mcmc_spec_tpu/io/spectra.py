@@ -25,10 +25,17 @@ def apply_telluric_mask(wl_um: np.ndarray) -> np.ndarray:
 
 
 def load_data_spectrum(
-    path: str, spmin: float, spmax: float, mask: bool = True
+    path: str, spmin: float, spmax: float, mask: bool = True,
+    err_floor_frac: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(wl_um, flux, err) masked, windowed, and median-normalised."""
+    """(wl_um, flux, err) masked, windowed, and median-normalised.
+
+    ``err_floor_frac`` floors non-positive errors at a fraction of |flux|
+    (some archival spectra, e.g. ``Data/GJ544B.ascii``, ship zero errors).
+    """
     wl, flux, err = np.genfromtxt(path, unpack=True)
+    if err_floor_frac > 0:
+        err = np.where(err <= 0, err_floor_frac * np.abs(flux), err)
     if mask:
         keep = apply_telluric_mask(wl)
         wl, flux, err = wl[keep], flux[keep], err[keep]

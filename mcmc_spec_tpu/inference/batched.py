@@ -139,14 +139,16 @@ def _spec_chi2_xla(Wcomb, av, tgt: PackedTarget):
     return jnp.sum(resid2, axis=1) / tgt.n_data_true.astype(model.dtype)
 
 
-def _chi2_terms_batch(p, tgt: PackedTarget, spec_mult):
+def _chi2_terms_batch(p, tgt: PackedTarget, spec_mult, chi_spec=None):
     n = tgt.nspec
     av = p[:, n]
     contrasts, phot_raw, _, _, Wcomb = _forward_small(p, tgt)
 
     from mcmc_spec_tpu.utils.flags import use_pallas_spectrum
 
-    if tgt.spectrum_weight == 0.0:
+    if chi_spec is not None:
+        pass  # precomputed (fleet kernel path)
+    elif tgt.spectrum_weight == 0.0:
         # nospec mode: the spectrum term is dropped entirely (mft6_nospec.py)
         chi_spec = jnp.zeros(p.shape[0], dtype=p.dtype)
     elif tgt.spectrum_backend != "xla" and use_pallas_spectrum(p.dtype):
@@ -175,13 +177,13 @@ def _chi2_terms_batch(p, tgt: PackedTarget, spec_mult):
     return tgt.spectrum_weight * weight * chi_spec, chi_c, chi_p
 
 
-def chi2_total_batch(p, tgt: PackedTarget, spec_mult=1.0):
-    a, b, c = _chi2_terms_batch(p, tgt, spec_mult)
+def chi2_total_batch(p, tgt: PackedTarget, spec_mult=1.0, chi_spec=None):
+    a, b, c = _chi2_terms_batch(p, tgt, spec_mult, chi_spec=chi_spec)
     return a + b + c
 
 
-def log_likelihood_batch(p, tgt: PackedTarget):
-    cs = chi2_total_batch(p, tgt, spec_mult=1.0)
+def log_likelihood_batch(p, tgt: PackedTarget, chi_spec=None):
+    cs = chi2_total_batch(p, tgt, spec_mult=1.0, chi_spec=chi_spec)
     return jnp.where(jnp.isnan(cs), -jnp.inf, -0.5 * cs)
 
 
@@ -234,10 +236,13 @@ def log_prior_batch(p, tgt: PackedTarget):
     return jnp.where(ok, lp, -jnp.inf)
 
 
-def log_posterior_batch(p, tgt: PackedTarget):
-    """Batched ``logposterior``: the sampler hot path."""
+def log_posterior_batch(p, tgt: PackedTarget, chi_spec=None):
+    """Batched ``logposterior``: the sampler hot path.
+
+    ``chi_spec``: optionally precomputed mean spectrum chi^2 (fleet kernel).
+    """
     lp = log_prior_batch(p, tgt)
-    ll = log_likelihood_batch(p, tgt)
+    ll = log_likelihood_batch(p, tgt, chi_spec=chi_spec)
     return jnp.where(jnp.isfinite(lp), lp + ll, -jnp.inf)
 
 

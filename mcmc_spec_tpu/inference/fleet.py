@@ -48,7 +48,29 @@ def stack_targets(targets: Sequence[PackedTarget]) -> PackedTarget:
 
 
 def log_posterior_fleet(params, fleet: PackedTarget):
-    """[ntgt, nw, ndim] -> [ntgt, nw] log posteriors."""
+    """[ntgt, nw, ndim] -> [ntgt, nw] log posteriors.
+
+    On TPU/f32 the spectrum chi^2 runs through the fleet Pallas kernel
+    (per-target VMEM blocks, per-row median ranks); the rest of the posterior
+    is the vmapped batched path with the precomputed spectrum term.
+    """
+    from mcmc_spec_tpu.inference import batched
+    from mcmc_spec_tpu.utils.flags import use_pallas_spectrum
+
+    if fleet.spectrum_weight != 0.0 and use_pallas_spectrum(params.dtype):
+        from mcmc_spec_tpu.ops.pallas_kernels import spectrum_chi2_fleet
+
+        _, _, _, _, Wcomb = jax.vmap(batched._forward_small)(params, fleet)
+        av = params[..., fleet.nspec]
+        ntgt, nT, nG, nd = fleet.D.shape
+        chi_spec = spectrum_chi2_fleet(
+            Wcomb, av, fleet.D.reshape(ntgt, nT * nG, nd), fleet.ext_k_data,
+            fleet.data_flux, fleet.data_err, fleet.V, fleet.Vpinv,
+            fleet.med_data, fleet.n_data_true,
+        )
+        return jax.vmap(
+            lambda p, t, cs: log_posterior_batch(p, t, chi_spec=cs)
+        )(params, fleet, chi_spec)
     return jax.vmap(log_posterior_batch)(params, fleet)
 
 

@@ -136,6 +136,125 @@ def _spectrum_chi2_kernel(
     out_ref[:] = jnp.mean(resid * resid, axis=1, keepdims=True)
 
 
+def _spectrum_chi2_fleet_kernel(
+    Wc_ref,  # [B, NO]
+    av_ref,  # [B, 1]
+    meta_f_ref,  # [B, 2]: (med_data, 1/n_true)
+    rank_ref,  # [B, 2] int32: (r1, r2) 1-based median ranks
+    D_ref,  # [1, NO, nd]   (per-target block)
+    kd_ref,  # [1, 1, nd]
+    data_ref,  # [1, 1, nd]
+    err_ref,  # [1, 1, nd]
+    VpinvT_ref,  # [1, 3, nd]
+    VT_ref,  # [1, 3, nd]
+    out_ref,  # [B, 1]
+):
+    """Fleet variant: per-row median ranks / counts (targets are padded)."""
+    model = _dot_f32(Wc_ref[:], D_ref[0])
+    av = av_ref[:]
+    trans = jnp.where(av > 0, jnp.exp(LN10_04 * av * kd_ref[0]), 1.0)
+    model = model * trans
+
+    mi = jax.lax.bitcast_convert_type(model, jnp.int32)
+    r1 = rank_ref[:, 0][:, None]
+    r2 = rank_ref[:, 1][:, None]
+    v1 = _row_order_stat_bits(mi, r1)
+    x1 = jax.lax.bitcast_convert_type(v1, jnp.float32)
+    cnt1 = jnp.sum((mi <= v1).astype(jnp.int32), axis=1, keepdims=True)
+    bigger = jnp.where(mi > v1, model, jnp.inf)
+    x2 = jnp.where(cnt1 >= r2, x1, jnp.min(bigger, axis=1, keepdims=True))
+    med = 0.5 * (x1 + x2)
+
+    med_data = meta_f_ref[:, 0][:, None]
+    inv_n = meta_f_ref[:, 1][:, None]
+    model = model * (med_data / med)
+
+    frac = data_ref[0] / model
+    Vp = VpinvT_ref[0]
+    c0 = jnp.sum(frac * Vp[0][None, :], axis=1, keepdims=True)
+    c1 = jnp.sum(frac * Vp[1][None, :], axis=1, keepdims=True)
+    c2 = jnp.sum(frac * Vp[2][None, :], axis=1, keepdims=True)
+    VT = VT_ref[0]
+    fitted = c0 * VT[0][None, :] + c1 * VT[1][None, :] + c2 * VT[2][None, :]
+    data_renorm = data_ref[0] / fitted
+    resid = (model - data_renorm) / err_ref[0]  # padded points: /inf -> 0
+    out_ref[:] = jnp.sum(resid * resid, axis=1, keepdims=True) * inv_n
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def spectrum_chi2_fleet(
+    Wcomb,  # [ntgt, nw, NO]
+    av,  # [ntgt, nw]
+    D,  # [ntgt, NO, nd]
+    ext_k_data,  # [ntgt, nd]
+    data_flux,  # [ntgt, nd]
+    data_err,  # [ntgt, nd]
+    V,  # [ntgt, nd, 3]
+    Vpinv,  # [ntgt, 3, nd]
+    med_data,  # [ntgt]
+    n_data_true,  # [ntgt] int
+    block: int = 256,
+    interpret: bool = False,
+):
+    """Fleet spectrum chi^2: per-target D/data blocks, per-row median ranks.
+
+    Returns [ntgt, nw].  ``nw`` must be divisible by ``block`` (or small
+    enough to use a single block per target).
+    """
+    ntgt, nw, NO = Wcomb.shape
+    nd = D.shape[2]
+    if nw % block != 0:
+        block = nw
+    bpt = nw // block  # blocks per target
+    f32 = jnp.float32
+
+    n_true = n_data_true.astype(jnp.int32)
+    r1 = (n_true + 1) // 2
+    r2 = n_true // 2 + 1
+    ranks = jnp.broadcast_to(
+        jnp.stack([r1, r2], axis=-1)[:, None, :], (ntgt, nw, 2)
+    ).reshape(ntgt * nw, 2)
+    meta_f = jnp.broadcast_to(
+        jnp.stack([med_data.astype(f32), 1.0 / n_true.astype(f32)], axis=-1)[:, None, :],
+        (ntgt, nw, 2),
+    ).reshape(ntgt * nw, 2)
+
+    out = pl.pallas_call(
+        _spectrum_chi2_fleet_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(ntgt * bpt,),
+            in_specs=[
+                pl.BlockSpec((block, NO), lambda i: (i, 0)),
+                pl.BlockSpec((block, 1), lambda i: (i, 0)),
+                pl.BlockSpec((block, 2), lambda i: (i, 0)),
+                pl.BlockSpec((block, 2), lambda i: (i, 0)),
+                pl.BlockSpec((1, NO, nd), lambda i: (i // bpt, 0, 0)),
+                pl.BlockSpec((1, 1, nd), lambda i: (i // bpt, 0, 0)),
+                pl.BlockSpec((1, 1, nd), lambda i: (i // bpt, 0, 0)),
+                pl.BlockSpec((1, 1, nd), lambda i: (i // bpt, 0, 0)),
+                pl.BlockSpec((1, 3, nd), lambda i: (i // bpt, 0, 0)),
+                pl.BlockSpec((1, 3, nd), lambda i: (i // bpt, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((block, 1), lambda i: (i, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((ntgt * nw, 1), f32),
+        interpret=interpret,
+    )(
+        Wcomb.astype(f32).reshape(ntgt * nw, NO),
+        av.astype(f32).reshape(ntgt * nw, 1),
+        meta_f,
+        ranks,
+        D.astype(f32),
+        ext_k_data.astype(f32).reshape(ntgt, 1, nd),
+        data_flux.astype(f32).reshape(ntgt, 1, nd),
+        data_err.astype(f32).reshape(ntgt, 1, nd),
+        Vpinv.astype(f32),  # [ntgt, 3, nd]
+        jnp.swapaxes(V.astype(f32), 1, 2),  # [ntgt, 3, nd]
+    )
+    return out.reshape(ntgt, nw)
+
+
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
 def spectrum_chi2(
     Wcomb, av, D_flat, ext_k_data, data_flux, data_err, V, Vpinv, med_data,

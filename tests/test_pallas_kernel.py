@@ -73,3 +73,29 @@ class TestSpectrumChi2Kernel:
         ))
         ref = np.asarray(batched._spec_chi2_xla(Wcomb, P[:, 2], tgt))
         np.testing.assert_allclose(got, ref, rtol=5e-5)
+
+
+class TestFleetKernel:
+    def test_matches_vmapped_xla(self):
+        """Fleet kernel (padded, per-row ranks) vs vmapped XLA fallback."""
+        import dataclasses
+        from tests.test_fleet import _make_target, _walkers
+        from mcmc_spec_tpu.inference.fleet import stack_targets
+        from mcmc_spec_tpu.ops.pallas_kernels import spectrum_chi2_fleet
+
+        specs = [(300, 2, 21), (260, 1, 22)]
+        singles = [_make_target(nd, nc, seed, pad_nd=320, pad_nc=2, dtype=jnp.float32)
+                   for nd, nc, seed in specs]
+        fleet = stack_targets(singles)
+        P = jnp.stack([_walkers(8, seed=i) for i in range(2)]).astype(jnp.float32)
+
+        _, _, _, _, Wcomb = jax.vmap(batched._forward_small)(P, fleet)
+        av = P[..., fleet.nspec]
+        ntgt, nT, nG, nd = fleet.D.shape
+        got = np.asarray(spectrum_chi2_fleet(
+            Wcomb, av, fleet.D.reshape(ntgt, nT * nG, nd), fleet.ext_k_data,
+            fleet.data_flux, fleet.data_err, fleet.V, fleet.Vpinv,
+            fleet.med_data, fleet.n_data_true, interpret=True,
+        ))
+        ref = np.asarray(jax.vmap(batched._spec_chi2_xla)(Wcomb, av, fleet))
+        np.testing.assert_allclose(got, ref, rtol=5e-5)

@@ -295,6 +295,60 @@ def population_analysis(
     return derived_star, derived_planet, stats
 
 
+CONTRAST_KEYS = ["sdss,i", "lp600", "gaia,g", "562", "692", "880", "j", "h", "kp"]
+
+
+def observation_table(param_files, separations=None, obs_dates=None,
+                      out_dir=".", data_dir=None):
+    """Giant LaTeX observation table (planet_error_analysis.py:790-838).
+
+    Reads each system's parameter file, computes the spectrum SNR
+    (``median(flux)/std(err)``), and tabulates the contrast magnitudes per
+    standard filter key; writes ``obs.txt`` (with errors) and
+    ``obs_noerr.txt``.  Returns the table as a pandas DataFrame.
+    """
+    import pandas as pd
+
+    from mcmc_spec_tpu.utils.config import FitConfig
+
+    rows = []
+    for p in param_files:
+        cfg = FitConfig.from_file(p)
+        target = os.path.basename(p).split("i")[-1].split("_")[0].split(".")[0]
+        fname = cfg.filename if data_dir is None else os.path.join(data_dir, cfg.filename)
+        wl, flux, err = np.genfromtxt(fname, unpack=True)
+        snr = int(np.median(flux) / np.std(err)) if np.std(err) > 0 else -99
+        row = {"KOI": target,
+               "sep": (separations or {}).get(target, np.nan),
+               "obsdate": (obs_dates or {}).get(target, ""),
+               "snr": snr}
+        for key in CONTRAST_KEYS:
+            row[key] = np.nan
+            row["e_" + key] = np.nan
+        for f, m, e in zip(cfg.cfilt, cfg.cmag, cfg.cerr):
+            key = f.lower().strip()
+            if key in CONTRAST_KEYS:
+                row[key] = m
+                row["e_" + key] = e
+        rows.append(row)
+    df = pd.DataFrame(rows)
+
+    def _latex(frame, path):
+        with open(path, "w") as fh:
+            fh.write("\\begin{tabular}{" + "l" * len(frame.columns) + "}\n")
+            fh.write(" & ".join(str(c) for c in frame.columns) + " \\\\\n")
+            for _, r in frame.iterrows():
+                cells = ["" if (isinstance(v, float) and np.isnan(v)) else
+                         (f"{v:.2f}" if isinstance(v, float) else str(v)) for v in r]
+                fh.write(" & ".join(cells) + " \\\\\n")
+            fh.write("\\end{tabular}\n")
+
+    _latex(df, os.path.join(out_dir, "obs.txt"))
+    _latex(df[["KOI", "sep", "obsdate", "snr", *CONTRAST_KEYS]],
+           os.path.join(out_dir, "obs_noerr.txt"))
+    return df
+
+
 def _population_plots(derived_star, derived_planet, out_dir, cks_radii, cks_periods):
     """The reference's population figures (planet_error_analysis.py:315-786)."""
     import matplotlib

@@ -337,6 +337,14 @@ def run_mcmc_stage(
     print(f"Mean acceptance fraction: {af:.3f}")  # mft6.py:1525
 
     chain = np.concatenate(kept, axis=0)  # [nsteps, nw, ndim]
+
+    from mcmc_spec_tpu.utils.health import check_ensemble_health
+
+    health = check_ensemble_health(chain[-min(200, len(chain)):],
+                                   np.zeros((1, nw)), acceptance_fraction=af)
+    for w in health["warnings"]:
+        print(f"[health] {w}")
+
     samples = chain.reshape(-1, chain.shape[-1])
     results_io.write_samples(cfg.dirname, samples)
     return samples

@@ -108,3 +108,51 @@ class TestPopulation:
                     "teff_hist.pdf", "radius_hist.pdf", "rp_diff_primary.pdf",
                     "s_vs_r_primary.pdf", "prcf_compare.pdf", "p_vs_r_primary.pdf"]:
             assert os.path.exists(os.path.join(out, art)), art
+
+
+class TestObservationTable:
+    def test_obs_table(self, tmp_path):
+        from mcmc_spec_tpu.analysis.planets import observation_table
+
+        datafile = tmp_path / "spec.txt"
+        rng = np.random.RandomState(0)
+        np.savetxt(datafile, np.column_stack([
+            np.linspace(0.65, 0.84, 100), 1 + 0.01 * rng.randn(100),
+            0.01 * np.abs(rng.randn(100)) + 0.005,
+        ]))
+        pf = tmp_path / "param_koi0042.txt"
+        pf.write_text(f"""models synthetic
+dirname koi0042
+fname t
+filename {datafile}
+cmag [2.08,1.3]
+cerr [0.14,0.02]
+cfilt ['lp600','Kp']
+pmag [13.0,12.0,11.0]
+perr [0.1,0.1,0.1]
+pfilt ['j','h','k']
+""")
+        df = observation_table([str(pf)], separations={"0042": 0.5},
+                               out_dir=str(tmp_path))
+        assert len(df) == 1
+        assert df.iloc[0]["lp600"] == 2.08
+        assert df.iloc[0]["e_kp"] == 0.02
+        assert (tmp_path / "obs.txt").exists()
+        assert (tmp_path / "obs_noerr.txt").exists()
+
+
+class TestHealth:
+    def test_health_checks(self):
+        from mcmc_spec_tpu.utils.health import check_ensemble_health
+
+        rng = np.random.RandomState(0)
+        chain = rng.randn(50, 8, 3)
+        chain[:, 0, :] = 1.0  # stuck walker
+        logps = rng.randn(50, 8)
+        rep = check_ensemble_health(chain, logps, acceptance_fraction=0.02)
+        assert not rep["ok"]
+        assert rep["n_stuck_walkers"] == 1
+        assert any("acceptance" in w for w in rep["warnings"])
+        rep2 = check_ensemble_health(rng.randn(50, 8, 3), logps,
+                                     acceptance_fraction=0.4)
+        assert rep2["ok"]

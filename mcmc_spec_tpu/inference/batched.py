@@ -195,10 +195,13 @@ def _bounds_ok_batch(p, tgt: PackedTarget):
     if tgt.fit_plx:
         ok &= r1 >= 0.05
         if tgt.dist_fit:
+            # nospec mode tightens the parallax upper bound to 1/100
+            # (mft6_nospec.py:1228 vs mft6.py:1227)
+            plx_hi = 0.01 if tgt.spectrum_weight == 0.0 else 0.25
             if n <= 2:
-                ok &= (r1 <= 1.5) & (plx >= 1.0 / 3000.0) & (plx <= 0.25)
+                ok &= (r1 <= 1.5) & (plx >= 1.0 / 3000.0) & (plx <= plx_hi)
             else:
-                ok &= (plx >= 1.0 / 1000.0) & (plx <= 0.25)
+                ok &= (plx >= 1.0 / 1000.0) & (plx <= plx_hi)
     return ok
 
 

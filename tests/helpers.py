@@ -249,8 +249,10 @@ class RefEmulator:
         rad = p[n + 1: 2 * n + 1]
         plx = p[2 * n + 1]
         tmin, tmax = self.grid.temps.min(), self.grid.temps.max()
+        # nospec variant tightens the plx cap to 1/100 (mft6_nospec.py:1228)
+        plx_hi = 1 / 100 if self.spectrum_weight == 0.0 else 1 / 4
         if (np.any(teffs > tmax) or np.any(teffs < tmin) or np.any(rad < 0.05)
-                or rad[0] > 1.5 or plx < 1 / 3000 or plx > 1 / 4 or av < 0):
+                or rad[0] > 1.5 or plx < 1 / 3000 or plx > plx_hi or av < 0):
             return -np.inf
         pp = []
         d = 1.0 / plx

@@ -124,7 +124,9 @@ def run_anneal(
         (slice(tgt.nspec + 1, 2 * tgt.nspec + 1)) if tgt.fit_plx else slice(tgt.nspec + 1, None)
     )
 
-    chi0 = optimizer_chi2_batch(p0, tgt, rad_sigma=sig_coarse[:, rad_slice])
+    # initial chi^2 uses the 5%-of-guess radius-prior sigma (mft6.py:918);
+    # in-loop proposals use the current step sigmas (mft6.py:1042)
+    chi0 = optimizer_chi2_batch(p0, tgt, rad_sigma=None)
     state = AnnealState(
         params=p0,
         chi=chi0,

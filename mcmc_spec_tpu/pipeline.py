@@ -234,7 +234,11 @@ def make_synthetic_observation(
 
 def run_optimize_stage(ctx: FitContext, record_thin: int = 500) -> None:
     """Stage 1: vmapped annealing over nwalk walkers (mft6.py:1686-1765)."""
+    from mcmc_spec_tpu.utils.runlog import RunLog
+
     cfg = ctx.cfg
+    log = RunLog(cfg.dirname)
+    log.start("optimize", nwalk=cfg.nwalk, nstep=cfg.nstep)
     key = jax.random.PRNGKey(cfg.seed)
     k_init, k_run = jax.random.split(key)
     p0 = init_walkers(ctx.target, cfg.nwalk, cfg.plx, cfg.plx_err, k_init)
@@ -245,6 +249,7 @@ def run_optimize_stage(ctx: FitContext, record_thin: int = 500) -> None:
     results_io.write_optimize_results(cfg.dirname, params, chi)
     if trace is not None:
         results_io.write_walker_traces(cfg.dirname, np.asarray(trace[0]), np.asarray(trace[1]))
+    log.end("optimize", best_chi2=float(chi.min()), median_chi2=float(np.median(chi)))
     print("optimization complete")
 
 
@@ -335,6 +340,13 @@ def run_mcmc_stage(
     nw = p0.shape[0]
     af = float(state.n_accept) / (nw * max(n_done, 1))
     print(f"Mean acceptance fraction: {af:.3f}")  # mft6.py:1525
+
+    from mcmc_spec_tpu.utils.runlog import RunLog
+
+    RunLog(cfg.dirname).event(
+        "mcmc.end", n_steps=n_done, n_walkers=nw, acceptance_fraction=round(af, 4),
+        mean_autocorr=(float(np.mean(old_taus)) if old_taus is not None else None),
+    )
 
     chain = np.concatenate(kept, axis=0)  # [nsteps, nw, ndim]
 

@@ -345,6 +345,7 @@ def _plot_all_spec(ctx, med, draws, w_full, comp_full, comps_full, ext_full):
     spe *= norm
     pri = on_data(comps_full[0] * ext_full) * norm
     sec = on_data(comps_full[1] * ext_full) * norm
+    ter = (on_data(comps_full[2] * ext_full) * norm) if len(comps_full) > 2 else None
 
     from mcmc_spec_tpu.ops.continuum import polyfit_renorm_matrix
 
@@ -359,6 +360,9 @@ def _plot_all_spec(ctx, med, draws, w_full, comp_full, comps_full, ext_full):
     ax.plot(wl_aa, spe, lw=1, label="Composite spectrum", color="seagreen", zorder=3.5)
     ax.plot(wl_aa, pri, lw=1, label=f"Primary: {med[0]:.0f}K", color="darkblue", zorder=3)
     ax.plot(wl_aa, sec, lw=1, label=f"Secondary: {med[1]:.0f}K", color="darkorange", zorder=3)
+    if ter is not None:
+        ax.plot(wl_aa, ter, lw=1, label=f"Tertiary: {med[2]:.0f}K", color="firebrick",
+                zorder=3)
 
     for p in draws:
         wd, cd, compsd = composite_full(ctx.grid, ctx.mist, p, cfg.nspec)

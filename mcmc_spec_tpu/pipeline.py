@@ -146,8 +146,17 @@ def setup_context(cfg: FitConfig, dtype=jnp.float32) -> FitContext:
 
     # KIC->SDSS recalibration unless synthetic input (mft6.py:3553-3562)
     phot = np.asarray(cfg.pmag, dtype=np.float64)
+    perr = np.asarray(cfg.perr, dtype=np.float64)
     if not cfg.synth:
         phot = kic_to_sdss(cfg.pfilt, phot)
+    # missing (NaN) magnitudes are excluded from the fit via infinite errors
+    # (the reference propagates the NaN into chi^2 and every posterior value
+    # becomes -inf, mft6.py:1202; exclusion is the usable behaviour)
+    nan_phot = ~np.isfinite(phot)
+    if nan_phot.any():
+        print(f"[setup] excluding {int(nan_phot.sum())} missing photometry points")
+        phot = np.where(nan_phot, 0.0, phot)
+        perr = np.where(nan_phot, np.inf, perr)
 
     mist_path = "mist_2mass_old.cmd"
     mist = (
@@ -173,7 +182,7 @@ def setup_context(cfg: FitConfig, dtype=jnp.float32) -> FitContext:
         pfilts,
         zps,
         phot,
-        np.asarray(cfg.perr),
+        perr,
         mist,
         av_profile,
         nspec=cfg.nspec,

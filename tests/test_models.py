@@ -164,3 +164,27 @@ class TestAvProfile:
         p = AvProfile.for_target(288.45, 45.8, av_fallback=0.106, av_err_fallback=0.01)
         # dustmaps is not installed here -> constant fallback with floored sigma
         assert np.all(p.av_sig >= 0.01)
+
+
+class TestPhoenixHiresLoader:
+    def test_directory_load(self, tmp_path):
+        d = tmp_path / "SPECTRA"
+        d.mkdir()
+        wl = np.arange(5900.0, 9100.0, 0.5)
+        np.savetxt(d / "WAVE_PHOENIX-ACES-AGSS-COND-2011.fits.txt", wl, fmt="%.4f")
+        for t in (3000, 3400):
+            for g in ("4.5", "5.0"):
+                # HiRes fluxes are erg/s/cm^2/cm: 1e8x the per-Angstrom value
+                flux = synthetic_spectrum(wl, float(t), float(g)) * 1e8
+                name = f"lte{t:05d}-{g}0-0.0.PHOENIX-ACES-AGSS-COND-2011-HiRes.fits.txt"
+                np.savetxt(d / name, flux, fmt="%.6e")
+        g = SpectralGrid.from_phoenix_hires_dir(
+            str(d), (2000, 6000), (4.0, 5.5), (6000, 9000), (6450, 8400), 1700,
+        )
+        assert list(g.temps) == [3000.0, 3400.0]
+        assert list(g.loggs) == [4.5, 5.0]
+        # unit conversion /1e8 applied (mft6.py:487-504): compare to direct
+        direct = synthetic_spectrum(g.wl, 3000.0, 4.5)
+        mask = (g.wl < 6400) | (g.wl > 8450)  # outside the broadened window
+        ratio = g.flux[0, 0][mask] / direct[mask]
+        assert 0.9 < np.median(ratio) < 1.1

@@ -16,11 +16,10 @@ stretch move's complement ``all_gather``).
 """
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from mcmc_spec_tpu.inference.batched import log_posterior_batch, optimizer_chi2_batch
 from mcmc_spec_tpu.inference.stretch import EnsembleState, _stretch_z

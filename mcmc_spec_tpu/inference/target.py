@@ -25,7 +25,7 @@ walker-evaluations per second run on one chip.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, List, Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -39,7 +39,6 @@ from mcmc_spec_tpu.ops.extinction import ccm89
 from mcmc_spec_tpu.ops.interp import interp1d_weights
 from mcmc_spec_tpu.ops.photometry import (
     FilterCurve,
-    ab_zero_flux,
     contrast_weights,
     photon_flux_weights,
 )

@@ -13,7 +13,6 @@ published values (Cohen et al. 2003 for 2MASS) when no Vega file is supplied.
 from __future__ import annotations
 
 import os
-from functools import lru_cache
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np

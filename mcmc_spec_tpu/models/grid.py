@@ -19,7 +19,6 @@ import dataclasses
 import os
 import re
 from glob import glob
-from typing import Optional, Sequence
 
 import numpy as np
 

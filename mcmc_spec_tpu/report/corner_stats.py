@@ -8,7 +8,7 @@ distribution isn't bimodal (the reference's ``except`` path).
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -31,7 +31,7 @@ import matplotlib.pyplot as plt
 import numpy as np
 
 from mcmc_spec_tpu.inference.posterior import forward_summary
-from mcmc_spec_tpu.models.mist import LSUN, RSUN, SIGMA_SB
+from mcmc_spec_tpu.models.mist import LSUN, SIGMA_SB
 from mcmc_spec_tpu.ops.extinction import ccm89
 from mcmc_spec_tpu.report.composite import band_mag_posteriors, composite_full
 from mcmc_spec_tpu.report.corner_plot import corner_plot

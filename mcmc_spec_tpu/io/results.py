@@ -84,6 +84,7 @@ class Checkpoint:
     step: int
     n_accept: int = 0
     chain: Optional[np.ndarray] = None  # [steps_so_far, nw, ndim]
+    config_tag: str = ""  # guards against resuming a different run's state
 
     def save(self, path: str):
         arrays = dict(
@@ -92,6 +93,7 @@ class Checkpoint:
             key=np.asarray(self.key),
             step=self.step,
             n_accept=self.n_accept,
+            config_tag=np.asarray(self.config_tag),
         )
         if self.chain is not None:
             arrays["chain"] = np.asarray(self.chain)
@@ -109,6 +111,7 @@ class Checkpoint:
             step=int(z["step"]),
             n_accept=int(z["n_accept"]),
             chain=z["chain"] if "chain" in z.files else None,
+            config_tag=str(z["config_tag"]) if "config_tag" in z.files else "",
         )
 
     @classmethod

@@ -301,9 +301,15 @@ def run_mcmc_stage(
     key = jax.random.PRNGKey(cfg.seed + 1)
     ckpt_path = os.path.join(cfg.dirname, "chain_checkpoint.npz")
     start_chunk = 0
+    # a checkpoint only resumes the run it belongs to
+    config_tag = (f"{cfg.fname}:{cfg.nspec}:{p0.shape[0]}x{p0.shape[1]}:"
+                  f"{cfg.nsteps}:{cfg.seed}:{cfg.spectrum_weight}")
 
     ckpt = results_io.Checkpoint.maybe_load(ckpt_path) if resume else None
     prior_chain = None
+    if ckpt is not None and ckpt.config_tag and ckpt.config_tag != config_tag:
+        print("[resume] checkpoint belongs to a different run config; ignoring")
+        ckpt = None
     if ckpt is not None and ckpt.coords.shape == p0.shape:
         state = init_ensemble(jnp.asarray(ckpt.coords, dtype=tgt.data_flux.dtype),
                               logp, jnp.asarray(ckpt.key))
@@ -336,7 +342,7 @@ def run_mcmc_stage(
             results_io.Checkpoint(
                 np.asarray(state.coords), np.asarray(state.log_prob),
                 np.asarray(state.key), n_done, int(state.n_accept),
-                chain=np.concatenate(kept, axis=0),
+                chain=np.concatenate(kept, axis=0), config_tag=config_tag,
             ).save(ckpt_path)
         if check_convergence:
             full = np.concatenate(kept, axis=0)
@@ -368,4 +374,7 @@ def run_mcmc_stage(
 
     samples = chain.reshape(-1, chain.shape[-1])
     results_io.write_samples(cfg.dirname, samples)
+    # a completed run's checkpoint would otherwise short-circuit the next one
+    if os.path.exists(ckpt_path):
+        os.remove(ckpt_path)
     return samples

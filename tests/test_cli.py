@@ -75,8 +75,9 @@ bps_dir {BPS_DIR}
     assert "Mean acceptance fraction" in out.stdout
 
     run = tmp_path / "run"
-    for art in ["optimize_res.txt", "optimize_cs.txt", "samples.txt",
-                "chain_checkpoint.npz"]:
+    for art in ["optimize_res.txt", "optimize_cs.txt", "samples.txt"]:
         assert (run / art).exists(), art
+    # a completed run cleans up its resume checkpoint
+    assert not (run / "chain_checkpoint.npz").exists()
     samples = np.genfromtxt(run / "samples.txt")
     assert samples.shape[1] == 6

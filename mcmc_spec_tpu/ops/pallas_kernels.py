@@ -34,11 +34,20 @@ LN10_04 = -0.4 * 2.302585092994046  # -0.4 * ln(10)
 _F32_INF_BITS = 0x7F800000
 
 
-def _row_order_stat_bits(mi, rank):
+def _median_iters() -> int:
+    """Radix-median pass count: 31 = exact; MCMC_SPEC_FAST_MEDIAN=1 -> 20
+    (relative alpha error < 2e-4, an opt-in throughput mode)."""
+    import os
+
+    return 20 if os.environ.get("MCMC_SPEC_FAST_MEDIAN") == "1" else 31
+
+
+def _row_order_stat_bits(mi, rank, iters: int = 31):
     """Smallest int32 bit-value v per row with count(mi <= v) >= rank.
 
     ``mi``: [B, nd] int32 bit patterns of non-negative f32 (monotone order).
-    31 fixed binary-search iterations over the non-negative bit range.
+    ``iters=31`` fixed binary-search iterations cover the full bit range
+    exactly; fewer iterations return the interval's upper bound.
     """
     B = mi.shape[0]
     lo = jnp.zeros((B, 1), jnp.int32)
@@ -51,17 +60,26 @@ def _row_order_stat_bits(mi, rank):
         ge = cnt >= rank
         return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
 
-    lo, hi = jax.lax.fori_loop(0, 31, body, (lo, hi))
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
     return hi
 
 
-def _row_median_nonneg(model):
-    """Exact np.median along axis 1 for non-negative f32 rows, sort-free."""
+def _row_median_nonneg(model, iters: int = 31):
+    """np.median along axis 1 for non-negative f32 rows, sort-free.
+
+    ``iters=31`` is exact (the full non-negative bit range is 2^31).  Smaller
+    values trade accuracy for passes: the result is within ``2^(8-iters)``
+    relative of the true median (an opt-in fast mode; the median only sets the
+    global spectrum scale alpha, so sub-0.1%% error is far below posterior
+    noise).
+    """
     nd = model.shape[1]
     r1 = (nd + 1) // 2  # 1-based rank of lower middle
     mi = jax.lax.bitcast_convert_type(model, jnp.int32)
-    v1 = _row_order_stat_bits(mi, r1)
+    v1 = _row_order_stat_bits(mi, r1, iters)
     x1 = jax.lax.bitcast_convert_type(v1, jnp.float32)  # [B,1]
+    if iters < 31:
+        return x1  # approximate: skip the exact upper-middle refinement
     if nd % 2 == 1:
         return x1
     # upper middle: equal to x1 if it repeats past rank r1, else the next
@@ -119,7 +137,7 @@ def _spectrum_chi2_kernel(
     trans = jnp.where(av > 0, jnp.exp(LN10_04 * av * kd_ref[:]), 1.0)
     model = model * trans
 
-    med = _row_median_nonneg(model)  # [B,1]
+    med = _row_median_nonneg(model, iters=_median_iters())  # [B,1]
     model = model * (medd_ref[0, 0] / med)
 
     # continuum renorm on the VPU in exact f32 (the K=3 / N=3 contractions
@@ -158,12 +176,16 @@ def _spectrum_chi2_fleet_kernel(
     mi = jax.lax.bitcast_convert_type(model, jnp.int32)
     r1 = rank_ref[:, 0][:, None]
     r2 = rank_ref[:, 1][:, None]
-    v1 = _row_order_stat_bits(mi, r1)
+    it = _median_iters()
+    v1 = _row_order_stat_bits(mi, r1, it)
     x1 = jax.lax.bitcast_convert_type(v1, jnp.float32)
-    cnt1 = jnp.sum((mi <= v1).astype(jnp.int32), axis=1, keepdims=True)
-    bigger = jnp.where(mi > v1, model, jnp.inf)
-    x2 = jnp.where(cnt1 >= r2, x1, jnp.min(bigger, axis=1, keepdims=True))
-    med = 0.5 * (x1 + x2)
+    if it < 31:
+        med = x1
+    else:
+        cnt1 = jnp.sum((mi <= v1).astype(jnp.int32), axis=1, keepdims=True)
+        bigger = jnp.where(mi > v1, model, jnp.inf)
+        x2 = jnp.where(cnt1 >= r2, x1, jnp.min(bigger, axis=1, keepdims=True))
+        med = 0.5 * (x1 + x2)
 
     med_data = meta_f_ref[:, 0][:, None]
     inv_n = meta_f_ref[:, 1][:, None]

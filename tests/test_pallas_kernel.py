@@ -99,3 +99,29 @@ class TestFleetKernel:
         ))
         ref = np.asarray(jax.vmap(batched._spec_chi2_xla)(Wcomb, av, fleet))
         np.testing.assert_allclose(got, ref, rtol=5e-5)
+
+
+class TestFastMedian:
+    def test_reduced_iters_close(self):
+        from mcmc_spec_tpu.ops.pallas_kernels import _row_median_nonneg, _row_order_stat_bits
+
+        rng = np.random.RandomState(0)
+        m = jnp.asarray(np.abs(rng.randn(32, 256)) * 1e-15, jnp.float32)
+        mi = jax.lax.bitcast_convert_type(m, jnp.int32)
+        # the rank search itself converges to < 2^11 bits (~2.4e-4 relative)
+        v31 = np.asarray(_row_order_stat_bits(mi, 128, 31))[:, 0]
+        v20 = np.asarray(_row_order_stat_bits(mi, 128, 20))[:, 0]
+        assert np.max(np.abs(v20 - v31)) < 2**11
+        # end-to-end fast vs exact differs by at most the order-statistic gap
+        exact = np.asarray(_row_median_nonneg(m, iters=31))[:, 0]
+        fast = np.asarray(_row_median_nonneg(m, iters=20))[:, 0]
+        srt = np.sort(np.asarray(m), axis=1)
+        gap = np.abs(srt[:, 128] - srt[:, 127]) + 2.5e-4 * exact
+        assert np.all(np.abs(fast - exact) <= gap + 1e-20)
+
+    def test_env_flag(self, monkeypatch):
+        from mcmc_spec_tpu.ops.pallas_kernels import _median_iters
+
+        assert _median_iters() == 31
+        monkeypatch.setenv("MCMC_SPEC_FAST_MEDIAN", "1")
+        assert _median_iters() == 20

@@ -156,3 +156,29 @@ class TestHealth:
         rep2 = check_ensemble_health(rng.randn(50, 8, 3), logps,
                                      acceptance_fraction=0.4)
         assert rep2["ok"]
+
+
+class TestAnalysisCLI:
+    def test_main(self, tmp_path):
+        import pandas as pd
+        from mcmc_spec_tpu.analysis.__main__ import main
+
+        for i, name in enumerate(["0042", "0043"]):
+            _fake_system(tmp_path, name, seed=i)
+        pd.DataFrame(dict(
+            system=["0042", "0043"], kep_teff=[4700.0, 4750.0],
+            kep_teff_err=[100.0, 100.0], kep_rstar=[0.7, 0.72],
+            kep_rstar_err=[0.03, 0.03], kep_mstar=[0.75, 0.76],
+        )).to_csv(tmp_path / "stars.csv", index=False)
+        pd.DataFrame(dict(
+            system=["0042", "0043"], pname=["42.01", "43.01"],
+            radius=[1.4, 1.1], radius_err=[0.1, 0.1], teq=[700.0, 800.0],
+            period=[0.05, 0.03], period_err=[1e-4, 1e-4],
+        )).to_csv(tmp_path / "planets.csv", index=False)
+        out = str(tmp_path / "pop")
+        main(["--results", str(tmp_path / "koi*"),
+              "--star-catalog", str(tmp_path / "stars.csv"),
+              "--planet-catalog", str(tmp_path / "planets.csv"),
+              "--out", out, "--no-plots"])
+        assert os.path.exists(os.path.join(out, "derived_star.csv"))
+        assert os.path.exists(os.path.join(out, "derived_planet.csv"))

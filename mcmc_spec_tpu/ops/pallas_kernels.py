@@ -215,7 +215,7 @@ def spectrum_chi2_fleet(
     Vpinv,  # [ntgt, 3, nd]
     med_data,  # [ntgt]
     n_data_true,  # [ntgt] int
-    block: int = 256,
+    block: int = 512,
     interpret: bool = False,
 ):
     """Fleet spectrum chi^2: per-target D/data blocks, per-row median ranks.
@@ -225,6 +225,8 @@ def spectrum_chi2_fleet(
     """
     ntgt, nw, NO = Wcomb.shape
     nd = D.shape[2]
+    if nd > 3000:
+        block = min(block, 256)
     if nw % block != 0:
         block = nw
     bpt = nw // block  # blocks per target
@@ -280,7 +282,7 @@ def spectrum_chi2_fleet(
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
 def spectrum_chi2(
     Wcomb, av, D_flat, ext_k_data, data_flux, data_err, V, Vpinv, med_data,
-    block: int = 256, interpret: bool = False,
+    block: int = 512, interpret: bool = False,
 ):
     """Fused per-walker spectrum chi^2 (mean over data points).
 
@@ -297,6 +299,8 @@ def spectrum_chi2(
     """
     NW, NO = Wcomb.shape
     nd = D_flat.shape[1]
+    if nd > 3000:
+        block = min(block, 256)  # keep ~4 block-sized temporaries in VMEM
     if NW % block != 0:
         block = NW  # degenerate small batches: single block
     f32 = jnp.float32

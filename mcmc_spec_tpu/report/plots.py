@@ -66,6 +66,15 @@ def plot_corner(ctx, samples):
     cfg = ctx.cfg
     samples = np.asarray(samples).copy()
     ndim = samples.shape[1]
+    if ndim == 4:
+        # no-parallax vector layout (reference run_emcee else-branch, :1661-1682)
+        labels = [r"T$_{eff,1}$", r"T$_{eff,2}$", r"$A_{V}$", r"R$_{2}$/R$_{1}$"]
+        fmts = [".0f", ".0f", ".2f", ".2f"]
+        out = os.path.join(cfg.dirname, "plots", f"{cfg.fname}_corner.pdf")
+        rv = cfg.real_values_or_zero()
+        truths = rv[:4].astype(float) if np.any(rv != 0) else None
+        corner_plot(samples, labels, fmts, truths=truths, out_path=out)
+        return
     if ndim in (6, 8):
         samples[:, -1] *= 1e3  # plx -> mas
     labels, fmts = _labels_formats(cfg.nspec, cfg.dist_fit)
@@ -278,6 +287,8 @@ def _plot_posterior_hist(x, xlabel, tlabel, out, fmt=".3f"):
 
 def _plot_phot_scatter(ctx, med, summ, w_full, comp_full, comps_full, ext_full):
     cfg = ctx.cfg
+    if not cfg.dist_fit:
+        return _plot_contrast_scatter(ctx, summ)  # 2-panel variant (mft6.py:2284-2317)
     phot_model = summ["phot_mags"]
     contrasts = summ["contrasts"]
     n = len(phot_model)
@@ -318,6 +329,29 @@ def _plot_phot_scatter(ctx, med, summ, w_full, comp_full, comps_full, ext_full):
                   s=50, label="Cont. resid.")
     ax[2].set_xlabel(r"Wavelength ($\AA$)", fontsize=12)
     ax[2].set_ylabel("Resid. (mag)", fontsize=12)
+    ax[0].legend(loc="best", fontsize=10, ncol=2)
+    plt.tight_layout()
+    plt.savefig(os.path.join(cfg.dirname, "plots", f"{cfg.fname}_phot_scatter.pdf"))
+    plt.close(fig)
+
+
+def _plot_contrast_scatter(ctx, summ):
+    """Contrast-only 2-panel scatter for no-distance fits (mft6.py:2284-2317)."""
+    cfg = ctx.cfg
+    contrasts = summ["contrasts"]
+    cwl = [c.cwl for c in ctx.bank.contrast_curves(cfg.cfilt)]
+    fig, ax = plt.subplots(nrows=2, gridspec_kw=dict(hspace=0, height_ratios=[3, 1]),
+                           sharex=True, figsize=(7, 6))
+    ax[0].scatter(cwl, contrasts, color="blue", marker="v", label="Model contrast", zorder=2)
+    ax[0].errorbar(cwl, cfg.cmag, yerr=cfg.cerr, ls="None", capsize=4, capthick=2,
+                   color="k", marker="v", label="Data contrast", zorder=1)
+    ax[0].set_ylabel("Contrast (mag)", fontsize=12)
+    ax[1].axhline(0, color="0.3", ls="--", lw=2, label="No resid.")
+    ax[1].scatter(cwl, np.asarray(cfg.cmag) - contrasts, color="blue", marker="x",
+                  s=50, label="Cont. resid.")
+    ax[1].set_xlabel(r"Wavelength ($\AA$)", fontsize=12)
+    ax[1].set_ylabel("Residual (mag)", fontsize=12)
+    ax[1].set_xscale("log")
     ax[0].legend(loc="best", fontsize=10, ncol=2)
     plt.tight_layout()
     plt.savefig(os.path.join(cfg.dirname, "plots", f"{cfg.fname}_phot_scatter.pdf"))

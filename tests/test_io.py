@@ -1,0 +1,95 @@
+"""IO robustness: FITS reader over the full public bps/ directory, filters,
+results artifacts."""
+import os
+from glob import glob
+
+import numpy as np
+import pytest
+
+from mcmc_spec_tpu.io.fits import list_hdus, read_bintable
+from mcmc_spec_tpu.io.filters import infer_system, load_transmission
+from mcmc_spec_tpu.io.results import (
+    read_optimize_results,
+    read_samples,
+    write_optimize_results,
+    write_samples,
+    write_walker_traces,
+)
+
+BPS = "/root/reference/bps"
+HAVE_BPS = os.path.isdir(BPS)
+
+
+@pytest.mark.skipif(not HAVE_BPS, reason="bps unavailable")
+class TestFitsReaderFuzz:
+    def test_every_fits_file_parses(self):
+        """Every FITS file the reference's loader could touch must parse."""
+        paths = sorted(glob(os.path.join(BPS, "*.fits")))
+        paths += sorted(glob(os.path.join(BPS, "*", "*.fits")))
+        assert len(paths) > 30
+        failures = []
+        for p in paths:
+            try:
+                hdus = list_hdus(p)
+                has_table = any(h.get("XTENSION", "").startswith("BINTABLE") for h in hdus)
+                if has_table:
+                    t = read_bintable(p)
+                    assert len(t) >= 1
+                    n = {len(v) for v in t.values()}
+                    assert len(n) == 1  # all columns same length
+            except Exception as e:
+                failures.append((os.path.basename(p), repr(e)))
+        assert not failures, failures
+
+    def test_vega_spectrum(self):
+        t = read_bintable("/root/reference/vegaspec.fits")
+        wl, fx = t["WAVELENGTH"], t["FLUX"]
+        assert len(wl) == 9170 and np.all(np.diff(wl) > 0)
+
+    def test_every_reference_filter_name_loads(self):
+        """All filter names the reference's targets use must resolve."""
+        # 'kshort' is omitted: its file (Keck_NIRC2.Ks.dat) is not shipped in
+        # the reference's bps/ either — the branch exists for users who have it
+        names = ["lp600", "Kp", "j", "h", "k", "562", "692", "880",
+                 "kepler", "brgamma", "sdss,r", "sdss,i", "sdss,z",
+                 "gaia,g", "gaia,bp", "gaia,rp", "sloan,r", "johnson,v",
+                 "johnson,b", "cousins,i", "bessell,j"]
+        for name in names:
+            c = load_transmission(name, BPS)
+            assert len(c.wl) > 10 and np.all(np.isfinite(c.tr)), name
+            assert 3000 < c.cwl < 30000, (name, c.cwl)
+
+
+class TestInferSystem:
+    def test_bare_names(self):
+        assert infer_system("Kp") == ("keck", "kp")
+        assert infer_system("j") == ("2mass", "j")
+        assert infer_system("562") == ("dssi", "562")
+        assert infer_system("kepler") == ("kep", "kepler")
+        assert infer_system("brgamma") == ("nirc2", "brgamma")
+        assert infer_system("sdss,r") == ("sdss", "r")
+
+
+class TestResultsArtifacts:
+    def test_round_trips(self, tmp_path):
+        d = str(tmp_path)
+        params = np.random.randn(10, 6)
+        chis = np.random.rand(10)
+        write_optimize_results(d, params, chis)
+        c2, p2 = read_optimize_results(d)
+        np.testing.assert_allclose(p2, params)
+        np.testing.assert_allclose(c2, chis)
+
+        samples = np.random.randn(100, 6)
+        write_samples(d, samples)
+        np.testing.assert_allclose(read_samples(d), samples, rtol=1e-6)
+
+        # reference tools read these with np.genfromtxt — verify
+        via_ref = np.genfromtxt(os.path.join(d, "samples.txt"))
+        assert via_ref.shape == (100, 6)
+
+        tp = np.random.randn(5, 3, 6)
+        tc = np.random.rand(5, 3)
+        write_walker_traces(d, tp, tc)
+        w0 = np.genfromtxt(os.path.join(d, "params0.txt"))
+        assert w0.shape == (5, 6)

@@ -109,7 +109,9 @@ class FitConfig:
         raw = parse_param_file(path)
         cfg = cls.from_dict(raw)
         # reference: the 'synth' branch keys off the param *filename* (mft6.py:3553)
-        if "synth" in str(path):
+        import os
+
+        if "synth" in os.path.basename(str(path)):
             cfg.synth = True
         return cfg
 

@@ -21,11 +21,21 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: int | None = None, axis_names=("walkers",)) -> Mesh:
-    """1-D (or reshaped N-D) mesh over the first ``n_devices`` devices."""
-    devices = jax.devices()
+def make_mesh(n_devices: int | None = None, axis_names=("walkers",), devices=None) -> Mesh:
+    """1-D (or reshaped N-D) mesh over the first ``n_devices`` devices.
+
+    Falls back to the virtual CPU device set when the default backend exposes
+    fewer devices than requested (the multichip dry-run path: one physical
+    TPU + ``--xla_force_host_platform_device_count=N`` CPUs).
+    """
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None and len(devices) < n_devices:
+            devices = jax.devices("cpu")
     if n_devices is None:
         n_devices = len(devices)
+    if len(devices) < n_devices:
+        raise ValueError(f"need {n_devices} devices, have {len(devices)}")
     devices = np.asarray(devices[:n_devices])
     if len(axis_names) == 1:
         return Mesh(devices, axis_names)

@@ -2,9 +2,10 @@
 """Benchmark: fused log-posterior evaluations/sec through the ensemble sampler.
 
 Runs the koi2298-scale workload (BASELINE.md config 2 shapes: ~1.8k data
-wavelengths, 2 contrasts, 6 photometric bands, 14x4 grid) with 4096 stretch-move
-walkers entirely on device, and reports sustained log-posterior evaluations per
-second.  Baseline (BASELINE.json north star): 100,000 evals/sec/chip.
+wavelengths, 2 contrasts, 6 photometric bands, 14x4 grid) with 8192
+stretch-move walkers entirely on device, and reports sustained log-posterior
+evaluations per second.  Baseline (BASELINE.json north star): 100,000
+evals/sec/chip.
 
 Prints ONE json line:
     {"metric": "logpost_evals_per_sec", "value": N, "unit": "evals/s",
@@ -20,7 +21,7 @@ from mcmc_spec_tpu.bench_target import build_bench_target, init_walker_batch
 from mcmc_spec_tpu.inference.batched import log_posterior_batch
 from mcmc_spec_tpu.inference.stretch import init_ensemble, run_ensemble
 
-NWALK = 4096
+NWALK = 8192
 NSTEPS = 512
 BASELINE = 1.0e5  # evals/sec north star (BASELINE.md)
 

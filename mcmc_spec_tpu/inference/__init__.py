@@ -15,3 +15,10 @@ from mcmc_spec_tpu.inference.batched import (  # noqa: F401
 )
 from mcmc_spec_tpu.inference.stretch import EnsembleState, run_ensemble, stretch_step  # noqa: F401
 from mcmc_spec_tpu.inference.anneal import run_anneal, init_walkers  # noqa: F401
+from mcmc_spec_tpu.inference.fleet import (  # noqa: F401
+    stack_targets,
+    log_posterior_fleet,
+    init_fleet_ensemble,
+    run_fleet_ensemble,
+)
+from mcmc_spec_tpu.inference.sampler_api import EnsembleSampler  # noqa: F401

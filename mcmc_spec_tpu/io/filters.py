@@ -137,7 +137,7 @@ class FilterBank:
             return VEGA_ZERO_FLUX_FALLBACK[key]
         raise ValueError(f"no Vega spectrum and no fallback zero flux for {key}")
 
-    def phot_passbands(self, pfilt: Sequence[str], model_wl=None):
+    def phot_passbands(self, pfilt: Sequence[str]):
         """(curves, zero_fluxes) for unresolved photometry.
 
         Mirrors the reference: 3 filters -> 2MASS-only, else SDSS riz + 2MASS

@@ -20,7 +20,9 @@ def apply_telluric_mask(wl_um: np.ndarray) -> np.ndarray:
     keep = np.ones(len(wl_um), dtype=bool)
     keep &= ~((wl_um > TELLURIC_BANDS[0][0]) & (wl_um < TELLURIC_BANDS[0][1]))
     keep &= ~((wl_um > TELLURIC_BANDS[1][0]) & (wl_um < TELLURIC_BANDS[1][1]))
-    keep &= ~((wl_um > TELLURIC_BANDS[2][0]) & (wl_um < TELLURIC_BANDS[2][1]))
+    # the last band drops its upper boundary too: the reference keeps only
+    # wl > 0.8240 after it (mft6.py:3497)
+    keep &= ~((wl_um > TELLURIC_BANDS[2][0]) & (wl_um <= TELLURIC_BANDS[2][1]))
     return keep
 
 

@@ -1,0 +1,65 @@
+"""utils coverage: run logs, profiling helpers, feature flags."""
+import json
+import os
+import time
+
+import numpy as np
+import pytest
+
+from mcmc_spec_tpu.utils.flags import spectrum_kernel_mode, use_pallas_spectrum
+from mcmc_spec_tpu.utils.profiling import StageTimer, device_loop_time
+from mcmc_spec_tpu.utils.runlog import RunLog, read_run_log
+
+
+class TestRunLog:
+    def test_events_and_timing(self, tmp_path):
+        log = RunLog(str(tmp_path))
+        log.start("stage_a", nwalk=10)
+        time.sleep(0.01)
+        log.end("stage_a", result=1.5)
+        log.event("custom", value=42)
+        events = read_run_log(str(tmp_path))
+        assert [e["event"] for e in events] == ["stage_a.start", "stage_a.end", "custom"]
+        assert events[1]["wall_s"] >= 0.01
+        assert events[2]["value"] == 42
+
+    def test_missing_log(self, tmp_path):
+        assert read_run_log(str(tmp_path / "nope")) == []
+
+
+class TestStageTimer:
+    def test_compile_run_split(self):
+        t = StageTimer()
+        for _ in range(3):
+            with t.stage("x"):
+                time.sleep(0.005)
+        assert "x" in t.first
+        assert t.counts["x"] == 2  # first call counted separately
+        rep = t.report()
+        assert "x" in rep and "steady" in rep
+
+
+class TestDeviceLoopTime:
+    def test_returns_positive_seconds(self):
+        import jax.numpy as jnp
+
+        dt = device_loop_time(lambda x: (x * 2.0).sum(), jnp.ones((128, 128)), rep=5)
+        assert 0 < dt < 1.0
+
+
+class TestFlags:
+    def test_modes(self, monkeypatch):
+        assert spectrum_kernel_mode() == "auto"
+        monkeypatch.setenv("MCMC_SPEC_SPECTRUM_KERNEL", "xla")
+        assert spectrum_kernel_mode() == "xla"
+        import jax.numpy as jnp
+
+        assert not use_pallas_spectrum(jnp.float32)  # forced xla
+        monkeypatch.setenv("MCMC_SPEC_SPECTRUM_KERNEL", "pallas")
+        assert use_pallas_spectrum(jnp.float64)  # forced on
+        monkeypatch.setenv("MCMC_SPEC_SPECTRUM_KERNEL", "bogus")
+        with pytest.raises(ValueError):
+            spectrum_kernel_mode()
+        monkeypatch.delenv("MCMC_SPEC_SPECTRUM_KERNEL")
+        # auto on CPU/float64 -> False
+        assert not use_pallas_spectrum(jnp.float64)

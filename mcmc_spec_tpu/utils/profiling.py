@@ -70,7 +70,7 @@ def device_loop_time(fn: Callable, *args, rep: int = 50) -> float:
     @jax.jit
     def run(a0, *rest):
         def body(i, acc):
-            return acc + jnp.sum(fn(a0 + 1e-9 * i, *rest))
+            return acc + jnp.sum(fn(a0 + 1e-9 * i, *rest)).astype(jnp.float32)
 
         return jax.lax.fori_loop(0, rep, body, jnp.zeros((), jnp.float32))
 

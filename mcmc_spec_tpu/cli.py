@@ -3,8 +3,11 @@
 Flag-compatible with the reference CLI (``mft6.py:3450-3456``, README):
 ``-f`` parameter file, ``-o`` run the optimize stage, ``-e`` run the MCMC
 stage.  Extensions: ``--nospec`` reproduces ``mft6_nospec.py`` as a flag
-instead of a file fork (spectrum chi^2 weight -> 0), ``--nplots`` skips
-report rendering, ``--dtype`` selects the device precision.
+instead of a file fork (spectrum chi^2 weight -> 0), ``--noplots`` skips
+report rendering, ``--dtype`` selects the device precision, ``--mesh``
+controls multi-device sharding (``auto`` default / ``off``), and repeating
+``-f`` fits all the named targets as one fleet in a single jitted program
+(the reference runs one process per KOI).
 """
 from __future__ import annotations
 
@@ -24,13 +27,14 @@ from mcmc_spec_tpu.utils.config import FitConfig
 def main(argv=None):
     argv = sys.argv if argv is None else argv
     opts, _ = getopt.getopt(
-        argv[1:], "f:o:e:", ["file=", "optimize=", "emcee=", "nospec", "noplots", "dtype="]
+        argv[1:], "f:o:e:",
+        ["file=", "optimize=", "emcee=", "nospec", "noplots", "dtype=", "mesh="],
     )
-    parfile, do_opt, do_emcee = None, "False", "False"
-    nospec, noplots, dtype = False, False, jnp.float32
+    parfiles, do_opt, do_emcee = [], "False", "False"
+    nospec, noplots, dtype, mesh = False, False, jnp.float32, "auto"
     for key, val in opts:
         if key in ("-f", "--file"):
-            parfile = val
+            parfiles.append(val)
         elif key in ("-o", "--optimize"):
             do_opt = val
         elif key in ("-e", "--emcee"):
@@ -41,14 +45,36 @@ def main(argv=None):
             noplots = True
         elif key == "--dtype":
             dtype = {"float32": jnp.float32, "float64": jnp.float64}[val]
-    if parfile is None:
-        raise SystemExit("usage: -f paramfile [-o True|False] [-e True|False] [--nospec]")
+        elif key == "--mesh":
+            try:
+                mesh = {"auto": "auto", "off": None, "none": None}[val.lower()]
+            except KeyError:
+                raise SystemExit(f"--mesh must be 'auto' or 'off', got {val!r}")
+    if not parfiles:
+        raise SystemExit(
+            "usage: -f paramfile [-f paramfile2 ...] [-o True|False] "
+            "[-e True|False] [--nospec] [--mesh auto|off]"
+        )
 
-    cfg = FitConfig.from_file(parfile)
+    cfgs = [FitConfig.from_file(p) for p in parfiles]
     if nospec:
-        cfg.spectrum_weight = 0.0
+        for cfg in cfgs:
+            cfg.spectrum_weight = 0.0
 
-    ctx = setup_context(cfg, dtype=dtype)
+    if len(cfgs) > 1:
+        from mcmc_spec_tpu.fleet_pipeline import run_fleet
+
+        run_fleet(
+            cfgs,
+            optimize=(do_opt == "True"),
+            emcee=(do_emcee == "True"),
+            noplots=noplots,
+            dtype=dtype,
+            mesh=mesh,
+        )
+        return
+
+    ctx = setup_context(cfgs[0], dtype=dtype)
 
     if do_opt == "True":
         run_optimize_stage(ctx)
@@ -58,7 +84,7 @@ def main(argv=None):
             plot_fit(ctx)
 
     if do_emcee == "True":
-        samples = run_mcmc_stage(ctx)
+        samples = run_mcmc_stage(ctx, mesh=mesh)
         if not noplots:
             from mcmc_spec_tpu.report.plots import plot_corner, plot_results
 

@@ -1,0 +1,252 @@
+"""Fleet pipeline: fit many targets in one jitted program, end to end.
+
+The reference fits one KOI per process invocation and aggregates results on
+the filesystem (SURVEY.md parallelism table: "data parallel over targets —
+shell-level"; ``planet_error_analysis.py`` expects per-target ``koi*/``
+result dirs).  Here N param files become one stacked :class:`PackedTarget`
+(ragged data/contrast axes padded to fleet maxima with inert padding), the
+whole fleet samples in a single ``lax.scan``'d stretch-move program
+(BASELINE.md config 5), and each target still gets its own reference-format
+artifact set (``samples.txt``, dumps, autocorr trace, reports) under its own
+``dirname``.
+
+On a multi-device mesh the target axis is pure data parallel and the walker
+axis needs only within-target partner gathers, so GSPMD shards both axes with
+no hand-written collectives.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcmc_spec_tpu.inference.autocorr import converged, integrated_time
+from mcmc_spec_tpu.inference.fleet import (
+    init_fleet_ensemble,
+    run_fleet_ensemble,
+    stack_targets,
+)
+from mcmc_spec_tpu.io import results as results_io
+from mcmc_spec_tpu.io.spectra import load_data_spectrum
+from mcmc_spec_tpu.pipeline import (
+    FitContext,
+    _resolve,
+    run_optimize_stage,
+    seed_from_optimize,
+    setup_context,
+)
+from mcmc_spec_tpu.utils.config import FitConfig
+
+
+def setup_fleet(parfiles: Sequence, dtype=jnp.float32) -> list:
+    """Build FitContexts padded to common fleet shapes.
+
+    ``parfiles`` are param-file paths or :class:`FitConfig` objects.  A first
+    pass measures each target's masked data length / contrast count so every
+    target packs to the fleet maxima (padding is inert by construction, see
+    ``pack_target``); a second pass builds the full contexts.
+    """
+    cfgs = [p if isinstance(p, FitConfig) else FitConfig.from_file(p) for p in parfiles]
+    nds, ncs = [], []
+    for cfg in cfgs:
+        wl, _, _ = load_data_spectrum(
+            _resolve(cfg.filename, cfg), cfg.spmin, cfg.spmax, cfg.mask
+        )
+        nds.append(len(wl))
+        ncs.append(len(cfg.cfilt))
+    pad_nd, pad_nc = max(nds), max(ncs)
+    ctxs = [setup_context(cfg, dtype=dtype, pad_nd=pad_nd, pad_nc=pad_nc) for cfg in cfgs]
+
+    t0 = ctxs[0].target
+    for ctx, cfg in zip(ctxs[1:], cfgs[1:]):
+        t = ctx.target
+        for field, a, b in [
+            ("grid (nT, nG)", t.D.shape[:2], t0.D.shape[:2]),
+            ("photometry filters", t.Fp.shape[-1], t0.Fp.shape[-1]),
+            ("nspec", t.nspec, t0.nspec),
+            ("dist_fit", t.dist_fit, t0.dist_fit),
+            ("Av profile nodes", t.av_mu_nodes.shape, t0.av_mu_nodes.shape),
+        ]:
+            if a != b:
+                raise ValueError(
+                    f"fleet targets must match in {field}: {cfg.fname!r} has {a}, "
+                    f"{cfgs[0].fname!r} has {b} (use identical model/temp ranges "
+                    "and filter sets, or fit mismatched targets separately)"
+                )
+    return ctxs
+
+
+def resolve_fleet_mesh(mesh, ntgt: int, nw: int):
+    """2-D (targets x walkers) mesh over the available devices, or None.
+
+    Picks the factorization with the most target-parallelism whose axes evenly
+    divide ``ntgt`` and ``nw``; falls back to walker-only sharding, then to
+    single device.
+    """
+    from jax.sharding import Mesh
+
+    if isinstance(mesh, Mesh):
+        return mesh
+    if not mesh:
+        return None
+    devices = jax.devices()
+    ndev = len(devices)
+    if ndev <= 1:
+        return None
+    for t_ax in range(ndev, 0, -1):
+        if ndev % t_ax != 0 or ntgt % t_ax != 0:
+            continue
+        w_ax = ndev // t_ax
+        if nw % (2 * w_ax) == 0 or w_ax == 1:
+            return Mesh(
+                np.asarray(devices[:ndev]).reshape(t_ax, w_ax), ("targets", "walkers")
+            )
+    return None
+
+
+def run_fleet_optimize(ctxs: Sequence[FitContext]) -> None:
+    """Stage 1 for every target (each already a single vmapped program)."""
+    for ctx in ctxs:
+        run_optimize_stage(ctx)
+
+
+def run_fleet_mcmc(
+    ctxs: Sequence[FitContext],
+    p0s: Optional[Sequence[np.ndarray]] = None,
+    nthin: int = 100,
+    check_convergence: bool = True,
+    mesh="auto",
+) -> list:
+    """Stage 2 for the whole fleet in one jitted program.
+
+    Seeds each target from its optimize stage (top third by chi^2,
+    ``mft6.py:3668-3674``) unless ``p0s`` is given, trims every ensemble to a
+    common even walker count, and runs burn-in + autocorr-gated sampling for
+    all targets simultaneously.  Per-target ``samples.txt``, coordinate dumps,
+    and autocorr traces land in each target's ``dirname``.  Returns the list
+    of per-target flat sample arrays.
+    """
+    cfgs = [ctx.cfg for ctx in ctxs]
+    if p0s is None:
+        p0s = [seed_from_optimize(ctx) for ctx in ctxs]
+    nw = min(p.shape[0] for p in p0s)
+    nw -= nw % 2
+    if nw < 4:
+        raise ValueError(f"fleet needs >=4 walkers per target, got {nw}")
+    p0 = np.stack([np.asarray(p[:nw], dtype=np.float64) for p in p0s])  # [ntgt, nw, ndim]
+    ntgt = p0.shape[0]
+
+    fleet = stack_targets([ctx.target for ctx in ctxs])
+    dtype = ctxs[0].target.data_flux.dtype
+    coords = jnp.asarray(p0, dtype=dtype)
+
+    use_mesh = resolve_fleet_mesh(mesh, ntgt, nw)
+    if use_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        print(f"[fleet] {ntgt} targets x {nw} walkers over mesh "
+              f"{dict(zip(use_mesh.axis_names, use_mesh.devices.shape))}")
+        sh = NamedSharding(use_mesh, P("targets", "walkers"))
+        coords = jax.device_put(coords, sh)
+        fleet = jax.tree.map(
+            lambda x: jax.device_put(
+                x, NamedSharding(use_mesh, P("targets", *([None] * (x.ndim - 1))))
+            )
+            if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == ntgt
+            else x,
+            fleet,
+        )
+
+    key = jax.random.PRNGKey(cfgs[0].seed + 1)
+    state = init_fleet_ensemble(coords, fleet, key)
+
+    # burn-in (shortest target schedule governs; configs usually share nburn)
+    nburn = min(cfg.nburn for cfg in cfgs)
+    for n in range(max(nburn // nthin, 1)):
+        state, chain, _ = run_fleet_ensemble(state, fleet, n_steps=nthin, thin=nthin)
+        last = np.asarray(jax.device_get(chain[-1]))  # [ntgt, nw, ndim]
+        for t, cfg in enumerate(cfgs):
+            results_io.dump_coords(cfg.dirname, cfg.fname, n * nthin, last[t],
+                                   stage="burnin")
+    state = state._replace(n_accept=jnp.zeros((), jnp.int32))
+
+    kept = []
+    old_taus = None
+    n_done = 0
+    nsteps = min(cfg.nsteps for cfg in cfgs)
+    for n in range(max(nsteps // nthin, 1)):
+        state, chain, _ = run_fleet_ensemble(state, fleet, n_steps=nthin, thin=1)
+        chain = np.asarray(jax.device_get(chain))  # [nthin, ntgt, nw, ndim]
+        kept.append(chain)
+        n_done += nthin
+        for t, cfg in enumerate(cfgs):
+            results_io.dump_coords(cfg.dirname, cfg.fname, n * nthin, chain[-1, t],
+                                   stage="results")
+        if check_convergence:
+            full = np.concatenate(kept, axis=0)
+            taus_t = [integrated_time(full[:, t]) for t in range(ntgt)]
+            for t, cfg in enumerate(cfgs):
+                results_io.append_autocorr(cfg.dirname, cfg.fname,
+                                           float(np.mean(taus_t[t])))
+            all_conv = all(
+                converged(taus_t[t], n_done,
+                          old_taus[t] if old_taus is not None else None)
+                for t in range(ntgt)
+            )
+            if all_conv:
+                break
+            old_taus = taus_t
+
+    af = float(state.n_accept) / (ntgt * nw * max(n_done, 1))
+    print(f"Mean acceptance fraction: {af:.3f}")
+
+    full = np.concatenate(kept, axis=0)  # [nsteps, ntgt, nw, ndim]
+    out = []
+    for t, cfg in enumerate(cfgs):
+        samples = full[:, t].reshape(-1, full.shape[-1])
+        results_io.write_samples(cfg.dirname, samples)
+        out.append(samples)
+    return out
+
+
+def run_fleet(
+    parfiles: Sequence,
+    optimize: bool = True,
+    emcee: bool = True,
+    noplots: bool = False,
+    dtype=jnp.float32,
+    nthin: int = 100,
+    mesh="auto",
+) -> list:
+    """Full fleet run: N param files -> per-target reference artifact sets."""
+    ctxs = setup_fleet(parfiles, dtype=dtype)
+
+    def plot_ctx(ctx):
+        # report paths expect unpadded target shapes; rebuild without fleet
+        # padding (the grid npz cache makes this cheap)
+        if int(ctx.target.n_data_true) == ctx.target.n_data and (
+            int(ctx.target.n_contrast_true) == ctx.target.n_contrast
+        ):
+            return ctx
+        return setup_context(ctx.cfg, dtype=dtype)
+
+    if optimize:
+        run_fleet_optimize(ctxs)
+        if not noplots:
+            from mcmc_spec_tpu.report.plots import plot_fit
+
+            for ctx in ctxs:
+                plot_fit(plot_ctx(ctx))
+    samples = None
+    if emcee:
+        samples = run_fleet_mcmc(ctxs, nthin=nthin, mesh=mesh)
+        if not noplots:
+            from mcmc_spec_tpu.report.plots import plot_corner, plot_results
+
+            for ctx, s in zip(ctxs, samples):
+                pctx = plot_ctx(ctx)
+                plot_corner(pctx, s)
+                plot_results(pctx, s)
+    return ctxs if samples is None else list(zip(ctxs, samples))

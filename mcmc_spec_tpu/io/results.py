@@ -74,6 +74,55 @@ def dump_coords(dirname: str, fname: str, step: int, coords: np.ndarray, stage: 
         np.savetxt(f, np.asarray(coords))
 
 
+class ChainStore:
+    """Append-only chunked chain persistence.
+
+    The round-1 checkpoint re-serialized the whole accumulated chain every
+    chunk (O(n^2) total I/O over a run); here each chunk lands once as its own
+    ``chunk_{n:05d}.npy`` and resume reconstructs by concatenation.  The state
+    checkpoint (coords/key/step) stays in :class:`Checkpoint` with
+    ``chain=None``.
+    """
+
+    def __init__(self, dirname: str, name: str = "chain_chunks"):
+        self.path = os.path.join(dirname, name)
+
+    def _chunk_path(self, n: int) -> str:
+        return os.path.join(self.path, f"chunk_{n:05d}.npy")
+
+    def append(self, n: int, chunk: np.ndarray):
+        """Write chunk ``n`` (idempotent: a re-run of the same chunk overwrites)."""
+        os.makedirs(self.path, exist_ok=True)
+        # np.save appends .npy to names lacking it, so the tmp must end in .npy
+        tmp = os.path.join(self.path, f"tmp_{n:05d}.npy")
+        np.save(tmp, np.asarray(chunk))
+        os.replace(tmp, self._chunk_path(n))
+
+    def chunk_ids(self):
+        if not os.path.isdir(self.path):
+            return []
+        ids = []
+        for f in sorted(os.listdir(self.path)):
+            if f.startswith("chunk_") and f.endswith(".npy"):
+                ids.append(int(f[len("chunk_"):-len(".npy")]))
+        return ids
+
+    def load_upto(self, n_chunks: Optional[int] = None) -> Optional[np.ndarray]:
+        """Concatenate chunks 0..n_chunks-1 (all when None); None if empty."""
+        ids = self.chunk_ids()
+        if n_chunks is not None:
+            ids = [i for i in ids if i < n_chunks]
+        if not ids:
+            return None
+        return np.concatenate([np.load(self._chunk_path(i)) for i in ids], axis=0)
+
+    def clear(self):
+        import shutil
+
+        if os.path.isdir(self.path):
+            shutil.rmtree(self.path)
+
+
 @dataclasses.dataclass
 class Checkpoint:
     """Exact-resume sampler checkpoint (state + chain collected so far)."""

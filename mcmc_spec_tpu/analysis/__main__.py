@@ -27,14 +27,24 @@ def main(argv=None):
                     help="glob of per-system result dirs (each with samples.txt etc.)")
     ap.add_argument("--star-catalog", required=True)
     ap.add_argument("--planet-catalog", required=True)
-    ap.add_argument("--cks", default=None, help="CSV with an Rp column (radius-gap test)")
+    ap.add_argument("--cks", default=None,
+                    help="CSV with Rp [, Per] columns (radius-gap test + CKS KDE)")
+    ap.add_argument("--het-data", default=None,
+                    help="HET_data tree (UT*/KOI-{target}_{date}) for obs.txt dates")
+    ap.add_argument("--param-files", default=None,
+                    help="glob of per-system param files for the obs.txt table")
     ap.add_argument("--out", default="population_out")
     ap.add_argument("--no-plots", action="store_true")
     args = ap.parse_args(argv)
 
     import pandas as pd
 
-    from mcmc_spec_tpu.analysis.planets import SystemPosteriors, population_analysis
+    from mcmc_spec_tpu.analysis.planets import (
+        SystemPosteriors,
+        observation_table,
+        population_analysis,
+        scan_het_obs_dates,
+    )
 
     dirs = sorted(d for d in glob(args.results) if os.path.isdir(d))
     if not dirs:
@@ -50,19 +60,35 @@ def main(argv=None):
             print(f"[skip] {d}: {e}")
     print(f"loaded {len(systems)} systems")
 
-    star_catalog = pd.read_csv(args.star_catalog)
-    planet_catalog = pd.read_csv(args.planet_catalog)
-    cks_radii = None
+    # 'system' must stay a string: KOI ids like "0042" would otherwise parse
+    # as integers and silently fail to join with the result-dir names
+    star_catalog = pd.read_csv(args.star_catalog, dtype={"system": str})
+    planet_catalog = pd.read_csv(args.planet_catalog, dtype={"system": str})
+    cks_radii, cks_periods = None, None
     if args.cks:
         cks = pd.read_csv(args.cks)
         cks_radii = cks["Rp"].to_numpy()
+        if "Per" in cks:
+            cks_periods = cks["Per"].to_numpy()
 
     ds, dp, stats = population_analysis(
         systems, star_catalog, planet_catalog, out_dir=args.out,
-        cks_radii=cks_radii, make_plots=not args.no_plots,
+        cks_radii=cks_radii, cks_periods=cks_periods,
+        make_plots=not args.no_plots,
     )
     ds.to_csv(os.path.join(args.out, "derived_star.csv"), index=False)
     dp.to_csv(os.path.join(args.out, "derived_planet.csv"), index=False)
+
+    if args.param_files:
+        obs_dates = scan_het_obs_dates(args.het_data) if args.het_data else None
+        seps = None
+        if "separation" in star_catalog:
+            seps = dict(zip(star_catalog["system"].astype(str),
+                            star_catalog["separation"]))
+        observation_table(sorted(glob(args.param_files)), separations=seps,
+                          obs_dates=obs_dates, out_dir=args.out)
+        print(f"wrote {os.path.join(args.out, 'obs.txt')}")
+
     print(json.dumps(stats, indent=2))
 
 

@@ -248,7 +248,19 @@ def population_analysis(
                 ss=sss[0], ss_plus=sss[1] - sss[0], ss_minus=sss[0] - sss[2],
                 kep_radius=prow["radius"], kep_radius_err=prow["radius_err"],
                 kep_teq=prow["teq"], kep_s=prow.get("s", np.nan),
-                period=prow["period"],
+                kep_s_err=prow.get("s_err", np.nan),
+                period=prow["period"], period_err=prow.get("period_err", np.nan),
+                # host-star links for the s_vs_t / m1_vs_r figures
+                host_pteff=pt[0], host_pteff_plus=pt[1], host_pteff_minus=pt[2],
+                host_steff=st[0], host_steff_plus=st[1], host_steff_minus=st[2],
+                host_kep_teff=srow["kep_teff"],
+                host_kep_teff_err=srow["kep_teff_err"],
+                host_mp=float(np.mean(sp.pri_mass)),
+                host_q_plus=qq[1], host_q_minus=qq[2],
+                # projected separation in AU (arcsec * pc), when cataloged
+                sep_au=(float(srow["separation"]) * float(srow["distance"])
+                        if np.isfinite(srow.get("separation", np.nan))
+                        and np.isfinite(srow.get("distance", np.nan)) else np.nan),
             ))
             planet_tex.write(
                 r"{} & {:.2f}$^{{+{:.2f}}}_{{-{:.2f}}}$ & {:.2f}$^{{+{:.2f}}}_{{-{:.2f}}}$ & "
@@ -296,6 +308,27 @@ def population_analysis(
 
 
 CONTRAST_KEYS = ["sdss,i", "lp600", "gaia,g", "562", "692", "880", "j", "h", "kp"]
+
+
+def scan_het_obs_dates(het_data_dir: str) -> dict:
+    """Observation dates from an HET data tree (planet_error_analysis.py:800-802).
+
+    The reference globs ``HET_data/UT*/KOI*`` where each spectrum file is named
+    ``...KOI-{target}_{date}...``; here any ``UT*`` trimester directory under
+    ``het_data_dir`` is scanned.  Returns ``{target: date}`` (first hit wins,
+    matching the reference's ``np.where(...)[0]`` pick).
+    """
+    from glob import glob
+
+    out = {}
+    for f in sorted(glob(os.path.join(het_data_dir, "UT*", "KOI*"))):
+        base = os.path.basename(f)
+        tail = base.split("-")[-1]
+        target = tail.split("_")[0]
+        parts = tail.split("_")
+        if len(parts) > 1 and target not in out:
+            out[target] = parts[1].split(".")[0]
+    return out
 
 
 def observation_table(param_files, separations=None, obs_dates=None,
@@ -440,34 +473,116 @@ def _population_plots(derived_star, derived_planet, out_dir, cks_radii, cks_peri
         plt.savefig(j(f"s_vs_r_{host}.pdf"))
         plt.close(fig)
 
-    # period-radius KDE diagram (sklearn, planet_error_analysis.py:~495-620)
+    # period-radius KDE diagrams (sklearn, planet_error_analysis.py:495-623):
+    # the revised sample against (a) its own KDE, (b) the CKS single-star
+    # sample, (c) the pre-revision Kepler sample
     try:
         from sklearn.neighbors import KernelDensity
     except ImportError as e:
-        print(f"[analysis] sklearn unavailable ({e}); skipping p_vs_r_primary.pdf")
+        print(f"[analysis] sklearn unavailable ({e}); skipping p_vs_r KDE figures")
         KernelDensity = None
-    if KernelDensity is not None:
-        logp = np.log10(np.asarray(derived_planet["period"], float) * 365.25)
-        rp = np.asarray(derived_planet["rp"], float)
-        if len(rp) >= 3:
-            kde = KernelDensity(kernel="gaussian", bandwidth=0.2).fit(
-                np.stack([logp, rp], axis=1)
-            )
-            X, Y = np.meshgrid(
-                np.arange(-2, logp.max() + 1.5, 0.05),
-                np.arange(rp.min() - 0.5, rp.max() + 1.5, 0.05),
-            )
-            Z = np.exp(kde.score_samples(np.vstack([X.ravel(), Y.ravel()]).T)).reshape(X.shape)
-            fig, ax = plt.subplots()
-            ax.contourf(X, Y, Z, cmap=plt.cm.Blues, levels=np.linspace(0, Z.max(), 60))
-            ax.scatter(logp, rp, marker=".", s=100, color="darkblue", edgecolor="k",
-                       label="Primary host")
-            periods = np.linspace(-0.5, 3, 100)
-            ax.plot(periods, 1.74 * ((10**periods) / 10) ** -0.13, color="k", lw=2, ls="--",
-                    label="Petigura+2022 (single stars)")
-            ax.set_xlabel(r"log$_{10}$(Period) (days)", fontsize=14)
-            ax.set_ylabel(r"R$_P$ ($R_\oplus$)", fontsize=14)
-            ax.legend(loc="best")
-            plt.tight_layout()
-            plt.savefig(j("p_vs_r_primary.pdf"))
-            plt.close(fig)
+
+    logp = np.log10(np.asarray(derived_planet["period"], float) * 365.25)
+    rp = np.asarray(derived_planet["rp"], float)
+    rp_err = [np.asarray(derived_planet["rp_minus"], float),
+              np.asarray(derived_planet["rp_plus"], float)]
+
+    def _kde_figure(kde_logp, kde_rp, out_name, cmap):
+        """Scatter of the revised primary-host sample over a KDE contour of
+        the given comparison sample + the Petigura+2022 single-star line."""
+        kde = KernelDensity(kernel="gaussian", bandwidth=0.2).fit(
+            np.stack([kde_logp, kde_rp], axis=1))
+        X, Y = np.meshgrid(
+            np.arange(-2, max(kde_logp.max(), logp.max()) + 1.5, 0.05),
+            np.arange(min(kde_rp.min(), rp.min()) - 0.5,
+                      max(kde_rp.max(), rp.max()) + 1.5, 0.05),
+        )
+        Z = np.exp(kde.score_samples(np.vstack([X.ravel(), Y.ravel()]).T)).reshape(X.shape)
+        fig, ax = plt.subplots()
+        cf = ax.contourf(X, Y, Z, cmap=cmap, levels=np.linspace(0, Z.max(), 40),
+                         zorder=-99)
+        fig.colorbar(cf)
+        ax.scatter(logp, rp, marker=".", s=100, color="darkblue", edgecolor="k",
+                   label="Primary host", zorder=1)
+        ax.errorbar(logp, rp, yerr=rp_err, ls="None", color="darkblue", alpha=0.3,
+                    elinewidth=1, zorder=1)
+        periods = np.linspace(-2, 4, 100)
+        ax.plot(periods, 1.74 * ((10**periods) / 10) ** -0.13, color="k", lw=2,
+                ls="--", label="Petigura+2022 (single stars)")
+        ax.set_xlabel(r"log$_{10}$(Period) (days)", fontsize=14)
+        ax.set_ylabel(r"R$_P$ ($R_\oplus$)", fontsize=14)
+        ax.set_xlim(logp.min() - 1, logp.max() + 1)
+        ax.set_ylim(max(rp.min() - 0.5, 0.1), rp.max() + 1.5)
+        ax.legend(loc="best")
+        plt.tight_layout()
+        plt.savefig(j(out_name))
+        plt.close(fig)
+
+    if KernelDensity is not None and len(rp) >= 3:
+        _kde_figure(logp, rp, "p_vs_r_primary.pdf", plt.cm.Blues)
+        # pre-revision Kepler sample (p_vs_r_primary_before_after, ref :583-623)
+        _kde_figure(logp, np.asarray(derived_planet["kep_radius"], float),
+                    "p_vs_r_primary_before_after.pdf", plt.cm.Oranges)
+        # CKS single-star comparison (p_vs_r_primary_CKS, ref :540-580)
+        if cks_radii is not None and cks_periods is not None and len(cks_radii) >= 3:
+            _kde_figure(np.log10(np.asarray(cks_periods, float)),
+                        np.asarray(cks_radii, float),
+                        "p_vs_r_primary_CKS.pdf", plt.cm.Oranges)
+        else:
+            print("[analysis] no CKS period/radius catalog; "
+                  "skipping p_vs_r_primary_CKS.pdf")
+
+    # separation vs revised radius (a_vs_r_primary, ref :626-652)
+    if "sep_au" in derived_planet and np.any(np.isfinite(derived_planet["sep_au"])):
+        fig, ax = plt.subplots()
+        ax.scatter(derived_planet["sep_au"], rp, marker=".", s=100,
+                   color="darkblue", label="Primary host")
+        ax.errorbar(derived_planet["sep_au"], rp, yerr=rp_err, ls="None",
+                    color="darkblue", alpha=0.3, elinewidth=1)
+        ax.set_xscale("log")
+        ax.set_xlabel("Approx. separation (AU)", fontsize=14)
+        ax.set_ylabel(r"R$_P$ ($R_\oplus$)", fontsize=14)
+        ax.legend(loc="upper left")
+        plt.tight_layout()
+        plt.savefig(j("a_vs_r_primary.pdf"))
+        plt.close(fig)
+
+    # instellation vs host Teff, revised filled + Kepler hollow
+    # (s_vs_t_primary / s_vs_t_secondary, ref :655-677 and :763-786)
+    for host, scol, tcol in [("primary", "sp", "host_pteff"),
+                             ("secondary", "ss", "host_steff")]:
+        fig, ax = plt.subplots()
+        ax.scatter(derived_planet[scol], derived_planet[tcol], marker=".", s=100,
+                   color="darkblue", label=f"{host.capitalize()} host")
+        ax.scatter(derived_planet["kep_s"], derived_planet["host_kep_teff"],
+                   marker=".", s=100, edgecolor="darkblue", facecolors="None",
+                   label="Kepler")
+        ax.errorbar(derived_planet[scol], derived_planet[tcol],
+                    xerr=[derived_planet[scol + "_minus"],
+                          derived_planet[scol + "_plus"]],
+                    yerr=[derived_planet[tcol + "_minus"],
+                          derived_planet[tcol + "_plus"]],
+                    ls="None", color="darkblue", alpha=0.5, elinewidth=1)
+        ax.set_xscale("log")
+        ax.invert_xaxis()
+        ax.set_xlabel(r"Instellation (S$_\oplus$)", fontsize=14)
+        ax.set_ylabel(r"Host $T_{eff}$ (K)", fontsize=14)
+        ax.legend(loc="best")
+        plt.tight_layout()
+        plt.savefig(j(f"s_vs_t_{host}.pdf"))
+        plt.close(fig)
+
+    # primary mass vs revised radius (m1_vs_r_primary, ref :680-703)
+    fig, ax = plt.subplots()
+    ax.scatter(derived_planet["host_mp"], rp, marker=".", s=100, color="darkblue",
+               label="Primary host")
+    ax.errorbar(derived_planet["host_mp"], rp,
+                xerr=[derived_planet["host_q_minus"], derived_planet["host_q_plus"]],
+                yerr=rp_err, ls="None", color="darkblue", alpha=0.5, elinewidth=1)
+    ax.set_yscale("log")
+    ax.set_xlabel(r"Primary star mass ($M_\odot$)", fontsize=14)
+    ax.set_ylabel(r"$R_p$ ($R_\oplus$)", fontsize=14)
+    ax.legend(loc="best", ncol=2)
+    plt.tight_layout()
+    plt.savefig(j("m1_vs_r_primary.pdf"))
+    plt.close(fig)

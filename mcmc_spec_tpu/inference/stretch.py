@@ -90,7 +90,68 @@ def run_ensemble(
     Returns ``(final_state, chain [n_steps//thin, nw, ndim], logps)``.
     With ``thin > 1`` only every ``thin``-th state is emitted (the reference
     dumps coords every ``nthin`` steps, mft6.py:1494-1510).
+
+    The scan carries the two ensemble halves as separate arrays (no
+    dynamic-update-slice scatters in the loop body — a device trace showed
+    those costing ~5% of step time) and the stretch/partner/accept random
+    draws for each emitted chunk of ``thin`` steps are generated in three
+    batched ops, instead of 6 small threefry dispatches per step.  The key
+    advances once per emitted chunk, so at a fixed ``thin`` a run is
+    bit-invariant to how it is split across successive ``run_ensemble``
+    calls — ``run(40, thin=1)`` equals ``run(20) + run(20)`` — which
+    checkpoint/resume relies on (tests/test_resume.py).
     """
+    nw, ndim = state.coords.shape
+    if nw % 2:  # odd ensembles: generic per-step path
+        return _run_ensemble_generic(state, log_prob_fn, n_steps, thin, a)
+
+    n_keep = n_steps // thin
+    nh = nw // 2
+
+    c0, c1 = state.coords[:nh], state.coords[nh:]
+    lp0, lp1 = state.log_prob[:nh], state.log_prob[nh:]
+
+    def half(cur, lp_cur, other, z_h, idx_h, log_u_h, n_acc):
+        partners = other[idx_h]
+        proposal = partners + z_h[:, None] * (cur - partners)
+        logp_new = log_prob_fn(proposal)
+        log_ratio = (ndim - 1) * jnp.log(z_h) + logp_new - lp_cur
+        accept = log_u_h < log_ratio
+        cur = jnp.where(accept[:, None], proposal, cur)
+        lp_cur = jnp.where(accept, logp_new, lp_cur)
+        return cur, lp_cur, n_acc + jnp.sum(accept).astype(n_acc.dtype)
+
+    def outer(carry, _):
+        c0, c1, lp0, lp1, key, n_acc = carry
+        key, kz, kp, ka = jax.random.split(key, 4)
+        z = _stretch_z(kz, (thin, 2, nh), a)
+        partner_idx = jax.random.randint(kp, (thin, 2, nh), 0, nh)
+        log_u = jnp.log(jax.random.uniform(ka, (thin, 2, nh)))
+
+        def inner(c, x):
+            c0, c1, lp0, lp1, n_acc = c
+            z_s, idx_s, lu_s = x
+            c0, lp0, n_acc = half(c0, lp0, c1, z_s[0], idx_s[0], lu_s[0], n_acc)
+            c1, lp1, n_acc = half(c1, lp1, c0, z_s[1], idx_s[1], lu_s[1], n_acc)
+            return (c0, c1, lp0, lp1, n_acc), None
+
+        (c0, c1, lp0, lp1, n_acc), _ = jax.lax.scan(
+            inner, (c0, c1, lp0, lp1, n_acc), (z, partner_idx, log_u)
+        )
+        carry = (c0, c1, lp0, lp1, key, n_acc)
+        return carry, (jnp.concatenate([c0, c1]), jnp.concatenate([lp0, lp1]))
+
+    carry = (c0, c1, lp0, lp1, state.key, state.n_accept)
+    carry, (chain, logps) = jax.lax.scan(outer, carry, None, length=n_keep)
+    c0, c1, lp0, lp1, key, n_acc = carry
+    state = EnsembleState(
+        jnp.concatenate([c0, c1]), jnp.concatenate([lp0, lp1]), key, n_acc
+    )
+    return state, chain, logps
+
+
+def _run_ensemble_generic(state, log_prob_fn, n_steps, thin, a):
+    """Per-step fallback (odd walker counts): one stretch_step per iteration."""
     n_keep = n_steps // thin
 
     def outer(state, _):

@@ -120,6 +120,26 @@ def _dot_f32(a, b):
     return out
 
 
+def _spectrum_block(Wcomb, av, D, kd, data, err, VpinvT, VT, med_data, iters):
+    """Shared spectrum-statistics body: model, extinction, median match,
+    continuum renorm, mean chi^2.  All operands VMEM-resident."""
+    model = _dot_f32(Wcomb, D)
+    trans = jnp.where(av > 0, jnp.exp(LN10_04 * av * kd), 1.0)
+    model = model * trans
+
+    med = _row_median_nonneg(model, iters=iters)  # [B,1]
+    model = model * (med_data / med)
+
+    frac = data / model  # [B, nd]
+    c0 = jnp.sum(frac * VpinvT[0][None, :], axis=1, keepdims=True)
+    c1 = jnp.sum(frac * VpinvT[1][None, :], axis=1, keepdims=True)
+    c2 = jnp.sum(frac * VpinvT[2][None, :], axis=1, keepdims=True)
+    fitted = c0 * VT[0][None, :] + c1 * VT[1][None, :] + c2 * VT[2][None, :]
+    data_renorm = data / fitted
+    resid = (model - data_renorm) / err
+    return jnp.mean(resid * resid, axis=1, keepdims=True)
+
+
 def _spectrum_chi2_kernel(
     medd_ref,  # [1,1] SMEM: median(data)
     Wc_ref,  # [B, NO]
@@ -132,26 +152,13 @@ def _spectrum_chi2_kernel(
     VT_ref,  # [3, nd]
     out_ref,  # [B, 1]
 ):
-    model = _dot_f32(Wc_ref[:], D_ref[:])
-    av = av_ref[:]  # [B,1]
-    trans = jnp.where(av > 0, jnp.exp(LN10_04 * av * kd_ref[:]), 1.0)
-    model = model * trans
-
-    med = _row_median_nonneg(model, iters=_median_iters())  # [B,1]
-    model = model * (medd_ref[0, 0] / med)
-
-    # continuum renorm on the VPU in exact f32 (the K=3 / N=3 contractions
-    # would round through bf16 on the MXU); both matrices arrive as [3, nd]
-    frac = data_ref[:] / model  # [B, nd]
-    Vp = VpinvT_ref[:]  # [3, nd]
-    c0 = jnp.sum(frac * Vp[0][None, :], axis=1, keepdims=True)
-    c1 = jnp.sum(frac * Vp[1][None, :], axis=1, keepdims=True)
-    c2 = jnp.sum(frac * Vp[2][None, :], axis=1, keepdims=True)
-    VT = VT_ref[:]  # [3, nd]
-    fitted = c0 * VT[0][None, :] + c1 * VT[1][None, :] + c2 * VT[2][None, :]
-    data_renorm = data_ref[:] / fitted
-    resid = (model - data_renorm) / err_ref[:]
-    out_ref[:] = jnp.mean(resid * resid, axis=1, keepdims=True)
+    # continuum renorm runs on the VPU in exact f32 (the K=3 / N=3
+    # contractions would round through bf16 on the MXU); V matrices arrive
+    # pre-transposed as [3, nd]
+    out_ref[:] = _spectrum_block(
+        Wc_ref[:], av_ref[:], D_ref[:], kd_ref[:], data_ref[:], err_ref[:],
+        VpinvT_ref[:], VT_ref[:], medd_ref[0, 0], _median_iters(),
+    )
 
 
 def _spectrum_chi2_fleet_kernel(
@@ -336,5 +343,307 @@ def spectrum_chi2(
         data_err.astype(f32).reshape(1, nd),
         Vpinv.astype(f32),
         V.T.astype(f32),
+    )
+    return out[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused log-posterior kernel: one Pallas call per walker-batch eval.
+#
+# The spectrum kernel above leaves ~17% of step time in small XLA fusions
+# (tent-basis weights, photometry matmuls, priors — see
+# scripts/trace_stretch.py).  This variant computes the ENTIRE
+# ``inference.batched.log_posterior_batch`` semantics in-kernel for the
+# single-target (unpadded) case.  Interpolations use tent-basis constants
+# folded host-side (``_tent_consts``): per node j the weight is
+#     w_j(q) = clip(min((q - A_j) * invB_j, (C_j - q) * invD_j), 0, 1)
+# which reproduces ``ops.interp.tent_weights`` exactly (edge nodes get their
+# off-side disabled via A=-1e30/invB=1e-30 so the min picks the live side) —
+# no gathers, no reshapes, pure VPU arithmetic against [1, n] constants.
+# ---------------------------------------------------------------------------
+
+# physical constants: the exact values the reference uses (mft6.py:79-81,691)
+from mcmc_spec_tpu.models.mist import LSUN as _LSUN, RSUN as _RSUN, SIGMA_SB as _SIGMA_SB
+
+_RSUN_CM = 6.957e10  # mft6.py:691
+_PC_CM = 3.086e18  # mft6.py:691
+
+
+def _tent_consts(nodes):
+    """[4, n] (A, invB, C, invD) tent-weight constants for ``nodes``."""
+    nodes = jnp.asarray(nodes, jnp.float32)
+    prev = jnp.concatenate([nodes[:1] - 1.0, nodes[:-1]])
+    nxt = jnp.concatenate([nodes[1:], nodes[-1:] + 1.0])
+    A = prev.at[0].set(-1e30)
+    invB = (1.0 / (nodes - prev)).at[0].set(1e-30)
+    C = nxt.at[-1].set(1e30)
+    invD = (1.0 / (nxt - nodes)).at[-1].set(1e-30)
+    return jnp.stack([A, invB, C, invD])
+
+
+def _tent_w(tc, q):
+    """Tent weights [B, n] for queries ``q`` [B, 1] given [4, n] constants."""
+    left = (q - tc[0][None, :]) * tc[1][None, :]
+    right = (tc[2][None, :] - q) * tc[3][None, :]
+    return jnp.clip(jnp.minimum(left, right), 0.0, 1.0)
+
+
+def _posterior_kernel(
+    scal_ref,  # [1, 3] SMEM: tmin, tmax, med_data
+    p_ref,  # [B, ndim]
+    D_ref,  # [NO, nd]
+    kd_ref,  # [1, nd]
+    data_ref,  # [1, nd]
+    err_ref,  # [1, nd]
+    VpinvT_ref,  # [3, nd]
+    VT_ref,  # [3, nd]
+    tentT_ref,  # [4, NO] Teff tent constants expanded to grid points
+    tentG_ref,  # [4, NO] logg tent constants expanded to grid points
+    mist_tent_ref,  # [4, nm]
+    mist_vals_ref,  # [2, nm]: logg nodes, lum nodes
+    av_tent_ref,  # [4, nav]
+    av_vals_ref,  # [2, nav]: mu, sig
+    Fc_ref,  # [NO, nc]
+    Fp_ref,  # [NO, npf]
+    cobs_ref,  # [2, nc]: cmag, cerr
+    pobs_ref,  # [4, npf]: pmag, perr, zero flux, CCM89 k at cwl
+    prior_ref,  # [2, ndim]: gaussian prior mu (0 = off), sig
+    out_ref,  # [B, 1] log posterior
+    *,
+    nspec,
+    fit_plx,
+    dist_fit,
+    rad_prior,
+    spectrum_weight,
+):
+    p = p_ref[:]
+    n = nspec
+    f32 = jnp.float32
+    tmin = scal_ref[0, 0]
+    tmax = scal_ref[0, 1]
+    med_data = scal_ref[0, 2]
+    tiny = jnp.asarray(jnp.finfo(f32).tiny, f32)
+
+    # --- unpack (batched._unpack_batch)
+    teffs = [p[:, s : s + 1] for s in range(n)]
+    av = p[:, n : n + 1]
+    if fit_plx:
+        r1 = p[:, n + 1 : n + 2]
+        ratios = [p[:, n + 1 + s : n + 2 + s] for s in range(1, n)]
+        plx = p[:, 2 * n + 1 : 2 * n + 2]
+    else:
+        r1 = jnp.ones_like(av)
+        ratios = [p[:, n + s : n + 1 + s] for s in range(1, n)]
+        plx = jnp.zeros_like(av)
+
+    # --- component scales (batched._scales_batch)
+    if fit_plx:
+        base = (r1 * _RSUN_CM * plx / _PC_CM) ** 2
+        scales = [base] + [base * r**2 for r in ratios]
+    else:
+        scales = [jnp.ones_like(r1)] + [r**2 for r in ratios]
+
+    # --- MIST logg(T) per component, then grid tent weights
+    mist_tc = mist_tent_ref[:]
+    logg_nodes = mist_vals_ref[0][None, :]
+    lum_nodes = mist_vals_ref[1][None, :]
+    tT = tentT_ref[:]
+    tG = tentG_ref[:]
+    Wcomb = None
+    cmags = []
+    mrads = []
+    for s in range(n):
+        wm = _tent_w(mist_tc, teffs[s])  # [B, nm]
+        logg_s = jnp.sum(wm * logg_nodes, axis=1, keepdims=True)
+        Wk = _tent_w(tT, teffs[s]) * _tent_w(tG, logg_s)  # [B, NO]
+        sWk = scales[s] * Wk
+        Wcomb = sWk if Wcomb is None else Wcomb + sWk
+        cflux = _dot_f32(sWk, Fc_ref[:])  # [B, nc]
+        cmags.append(-2.5 / LN10 * jnp.log(jnp.maximum(cflux, tiny)))
+        if rad_prior:
+            lum_s = jnp.sum(wm * lum_nodes, axis=1, keepdims=True)
+            mrads.append(
+                jnp.sqrt(lum_s * _LSUN / (4.0 * jnp.pi * _SIGMA_SB * teffs[s] ** 4))
+                / _RSUN
+            )
+
+    # --- contrasts (batched._forward_small)
+    nc = Fc_ref.shape[1]
+    if n == 1:
+        contrasts = jnp.zeros((p.shape[0], nc), f32)
+    elif n == 2:
+        contrasts = cmags[1] - cmags[0]
+    else:
+        col = jax.lax.broadcasted_iota(jnp.int32, (p.shape[0], nc), 1)
+        contrasts = jnp.where(col < nc // 2, cmags[1] - cmags[0], cmags[2] - cmags[0])
+
+    # --- photometry
+    pflux = _dot_f32(Wcomb, Fp_ref[:])  # [B, npf]
+    pmag_obs = pobs_ref[0][None, :]
+    perr = pobs_ref[1][None, :]
+    zp = pobs_ref[2][None, :]
+    kcwl = pobs_ref[3][None, :]
+    phot = -2.5 / LN10 * jnp.log(jnp.maximum(pflux / zp, tiny))
+    phot = jnp.where(av > 0, phot + av * kcwl, phot)
+
+    cmag_obs = cobs_ref[0][None, :]
+    cerr = cobs_ref[1][None, :]
+    chi_c = jnp.sum(((contrasts - cmag_obs) / cerr) ** 2, axis=1, keepdims=True)
+    chi_p = jnp.sum(((phot - pmag_obs) / perr) ** 2, axis=1, keepdims=True)
+
+    # --- spectrum chi^2 (shared block); nospec drops it (batched:151-153)
+    if spectrum_weight != 0.0:
+        chi_spec = _spectrum_block(
+            Wcomb, av, D_ref[:], kd_ref[:], data_ref[:], err_ref[:],
+            VpinvT_ref[:], VT_ref[:], med_data, _median_iters(),
+        )
+    else:
+        chi_spec = jnp.zeros_like(chi_c)
+
+    npf = Fp_ref.shape[1]
+    if fit_plx:
+        weight = float(nc + npf)
+    else:
+        weight = float(nc)
+        chi_p = jnp.zeros_like(chi_p)
+    cs = spectrum_weight * weight * chi_spec + chi_c + chi_p
+    ll = jnp.where(jnp.isnan(cs), -jnp.inf, -0.5 * cs)
+
+    # --- prior (batched.log_prior_batch)
+    lp = jnp.zeros_like(av)
+    if fit_plx:
+        dist_pc = 1.0 / jnp.maximum(plx, 1e-12)
+        logd = jnp.log(jnp.maximum(dist_pc, 1e-3))
+        wav = _tent_w(av_tent_ref[:], logd)  # [B, nav]
+        mu = jnp.sum(wav * av_vals_ref[0][None, :], axis=1, keepdims=True)
+        sig = jnp.sum(wav * av_vals_ref[1][None, :], axis=1, keepdims=True)
+        lp += -0.5 * ((av - mu) / sig) ** 2
+
+    pmu = prior_ref[0][None, :]
+    psig = prior_ref[1][None, :]
+    lp += jnp.sum(
+        jnp.where(pmu != 0, -0.5 * ((p - pmu) / psig) ** 2, 0.0),
+        axis=1, keepdims=True,
+    )
+
+    if rad_prior:
+        m1 = mrads[0]
+        model_vals = [m1] + [m / m1 for m in mrads[1:]]
+        rvals = [r1] + ratios if fit_plx else ratios
+        if not fit_plx:
+            model_vals = model_vals[1:]
+        for rv, mv in zip(rvals, model_vals):
+            lp += -0.5 * ((rv - mv) / (0.02 * mv)) ** 2
+
+    # --- bounds (batched._bounds_ok_batch)
+    ok = (av >= 0)
+    for t in teffs:
+        ok = jnp.logical_and(ok, jnp.logical_and(t <= tmax, t >= tmin))
+    for r in ratios:
+        ok = jnp.logical_and(ok, r >= 0.05)
+    if fit_plx:
+        ok = jnp.logical_and(ok, r1 >= 0.05)
+        if dist_fit:
+            plx_hi = 0.01 if spectrum_weight == 0.0 else 0.25
+            if n <= 2:
+                ok = jnp.logical_and(ok, r1 <= 1.5)
+                ok = jnp.logical_and(ok, plx >= 1.0 / 3000.0)
+                ok = jnp.logical_and(ok, plx <= plx_hi)
+            else:
+                ok = jnp.logical_and(ok, plx >= 1.0 / 1000.0)
+                ok = jnp.logical_and(ok, plx <= plx_hi)
+    lp = jnp.where(ok, lp, -jnp.inf)
+
+    out_ref[:] = jnp.where(jnp.isfinite(lp), lp + ll, -jnp.inf)
+
+
+LN10 = 2.302585092994046
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def log_posterior_fused(p, tgt, block: int = 512, interpret: bool = False):
+    """Fused ``log_posterior_batch`` — the whole eval in one Pallas call.
+
+    Single-target (unpadded) variant; the wrapper mirrors the semantics of
+    ``inference.batched`` exactly (tests/test_pallas_kernel.py).  Requires
+    ``tgt.n_contrast > 0`` and ``tgt.n_phot > 0`` (callers fall back to the
+    XLA composition otherwise).
+    """
+    NW = p.shape[0]
+    ndim = tgt.ndim
+    nT, nG, nd = tgt.D.shape
+    NO = nT * nG
+    if nd > 3000:
+        block = min(block, 256)
+    if NW % block != 0:
+        block = NW
+    f32 = jnp.float32
+
+    tT = jnp.repeat(_tent_consts(tgt.temps), nG, axis=1)  # [4, NO], o = t*nG+g
+    tG = jnp.tile(_tent_consts(tgt.loggs), (1, nT))
+
+    kern = functools.partial(
+        _posterior_kernel,
+        nspec=tgt.nspec,
+        fit_plx=tgt.fit_plx,
+        dist_fit=tgt.dist_fit,
+        rad_prior=tgt.rad_prior,
+        spectrum_weight=tgt.spectrum_weight,
+    )
+    nc, npf = tgt.cmag.shape[0], tgt.pmag.shape[0]
+    nm = tgt.mist_teff_nodes.shape[0]
+    nav = tgt.av_logd_nodes.shape[0]
+
+    bcast = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
+    out = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(NW // block,),
+            in_specs=[
+                pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((block, ndim), lambda i: (i, 0)),
+                bcast((NO, nd)),
+                bcast((1, nd)),
+                bcast((1, nd)),
+                bcast((1, nd)),
+                bcast((3, nd)),
+                bcast((3, nd)),
+                bcast((4, NO)),
+                bcast((4, NO)),
+                bcast((4, nm)),
+                bcast((2, nm)),
+                bcast((4, nav)),
+                bcast((2, nav)),
+                bcast((NO, nc)),
+                bcast((NO, npf)),
+                bcast((2, nc)),
+                bcast((4, npf)),
+                bcast((2, ndim)),
+            ],
+            out_specs=pl.BlockSpec((block, 1), lambda i: (i, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((NW, 1), f32),
+        interpret=interpret,
+    )(
+        jnp.stack([tgt.tmin, tgt.tmax, tgt.med_data]).astype(f32).reshape(1, 3),
+        p.astype(f32),
+        tgt.D.astype(f32).reshape(NO, nd),
+        tgt.ext_k_data.astype(f32).reshape(1, nd),
+        tgt.data_flux.astype(f32).reshape(1, nd),
+        tgt.data_err.astype(f32).reshape(1, nd),
+        tgt.Vpinv.astype(f32),
+        tgt.V.T.astype(f32),
+        tT,
+        tG,
+        _tent_consts(tgt.mist_teff_nodes),
+        jnp.stack([tgt.mist_logg_nodes, tgt.mist_lum_nodes]).astype(f32),
+        _tent_consts(tgt.av_logd_nodes),
+        jnp.stack([tgt.av_mu_nodes, tgt.av_sig_nodes]).astype(f32),
+        tgt.Fc.astype(f32).reshape(NO, nc),
+        tgt.Fp.astype(f32).reshape(NO, npf),
+        jnp.stack([tgt.cmag, tgt.cerr]).astype(f32),
+        jnp.stack([tgt.pmag, tgt.perr, tgt.phot_zp, tgt.ext_k_cwl]).astype(f32),
+        jnp.stack([tgt.prior_mu, tgt.prior_sig]).astype(f32),
     )
     return out[:, 0]

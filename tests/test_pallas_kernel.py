@@ -125,3 +125,70 @@ class TestFastMedian:
         assert _median_iters() == 31
         monkeypatch.setenv("MCMC_SPEC_FAST_MEDIAN", "1")
         assert _median_iters() == 20
+
+
+class TestFusedPosteriorKernel:
+    """log_posterior_fused (one kernel per eval) vs the XLA composition."""
+
+    def _compare(self, tgt, p_truth, ndim, seed=0, rtol=5e-5):
+        from mcmc_spec_tpu.ops.pallas_kernels import log_posterior_fused
+
+        rng = np.random.RandomState(seed)
+        P = jnp.asarray(
+            np.stack([p_truth * (1 + 0.03 * rng.randn(ndim)) for _ in range(24)]
+                     + [p_truth * 0 + 1.0]),  # one far-out-of-bounds walker
+            jnp.float32,
+        )
+        ref = np.asarray(batched.log_posterior_batch(P, tgt))
+        got = np.asarray(log_posterior_fused(P, tgt, interpret=True))
+        np.testing.assert_array_equal(np.isfinite(got), np.isfinite(ref))
+        fin = np.isfinite(ref)
+        assert fin.any()
+        np.testing.assert_allclose(got[fin], ref[fin], rtol=rtol,
+                                   atol=1e-4 * np.abs(ref[fin]).max())
+
+    def test_binary_dist(self):
+        st, tgt = make_setup(dtype=jnp.float32)
+        self._compare(tgt, st["p_truth"], 6)
+
+    def test_triple(self):
+        from mcmc_spec_tpu.bench_target import build_bench_target
+
+        tgt, truth = build_bench_target(jnp.float32, nd=400, grid_step=8.0, nspec=3)
+        self._compare(tgt, np.asarray(truth), 8, seed=1)
+
+    def test_rad_prior(self):
+        st, tgt = make_setup(rad_prior=True, dtype=jnp.float32)
+        self._compare(tgt, st["p_truth"], 6, seed=2)
+
+    def test_no_dist_fit(self):
+        st, tgt = make_setup(dist_fit=False, dtype=jnp.float32)
+        self._compare(tgt, st["p_truth"], 6, seed=3)
+
+    def test_nospec(self):
+        st, tgt = make_setup(spectrum_weight=0.0, dtype=jnp.float32)
+        self._compare(tgt, st["p_truth"], 6, seed=4)
+
+    def test_fit_plx_false(self):
+        """4-vector layout (no R1/plx columns)."""
+        from mcmc_spec_tpu.inference.target import pack_target
+
+        st, _ = make_setup(dtype=jnp.float32)
+        tgt = pack_target(
+            st["grid"], st["data_wl_um"], st["data_flux"], st["data_err"],
+            st["cfilts"], st["cmag"], st["cerr"], st["pfilts"], st["zps"],
+            st["pmag"], st["perr"], st["mist"], st["av_profile"],
+            nspec=2, dist_fit=False, fit_plx=False, dtype=jnp.float32,
+        )
+        assert tgt.ndim == 4
+        p4 = np.array([st["truth"]["t1"], st["truth"]["t2"],
+                       st["truth"]["av"], st["truth"]["rr2"]])
+        self._compare(tgt, p4, 4, seed=5)
+
+    def test_fused_gate(self):
+        """Padded / empty-block targets must not take the fused path."""
+        import dataclasses
+
+        _, tgt = make_setup(dtype=jnp.float32)
+        assert batched._fusable(tgt)
+        assert not batched._fusable(dataclasses.replace(tgt, spectrum_backend="xla"))

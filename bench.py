@@ -2,7 +2,7 @@
 """Benchmark: fused log-posterior evaluations/sec through the ensemble sampler.
 
 Runs the koi2298-scale workload (BASELINE.md config 2 shapes: ~1.8k data
-wavelengths, 2 contrasts, 6 photometric bands, 14x4 grid) with 8192
+wavelengths, 2 contrasts, 6 photometric bands, 14x4 grid) with 32k
 stretch-move walkers entirely on device, and reports sustained log-posterior
 evaluations per second.  Baseline (BASELINE.json north star): 100,000
 evals/sec/chip.
@@ -31,7 +31,7 @@ from mcmc_spec_tpu.bench_target import build_bench_target, init_walker_batch
 from mcmc_spec_tpu.inference.batched import log_posterior_batch
 from mcmc_spec_tpu.inference.stretch import init_ensemble, run_ensemble
 
-NWALK = 8192
+NWALK = 32768  # throughput saturates ~32k walkers (benchmarks/RESULTS.md sweep)
 NSTEPS = 512
 BASELINE = 1.0e5  # evals/sec north star (BASELINE.md)
 

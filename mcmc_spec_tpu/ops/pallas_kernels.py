@@ -120,9 +120,13 @@ def _dot_f32(a, b):
     return out
 
 
-def _spectrum_block(Wcomb, av, D, kd, data, err, VpinvT, VT, med_data, iters):
+def _spectrum_block(Wcomb, av, D, kd, data, inv_err, VpinvT, VT, med_data, iters):
     """Shared spectrum-statistics body: model, extinction, median match,
-    continuum renorm, mean chi^2.  All operands VMEM-resident."""
+    continuum renorm, mean chi^2.  All operands VMEM-resident.
+
+    ``inv_err`` is 1/err precomputed host/XLA-side: a [B, nd] VPU divide per
+    eval replaced by a multiply (padded fleet errors are inf -> inv 0, so
+    padded residuals stay exactly zero)."""
     model = _dot_f32(Wcomb, D)
     trans = jnp.where(av > 0, jnp.exp(LN10_04 * av * kd), 1.0)
     model = model * trans
@@ -136,7 +140,7 @@ def _spectrum_block(Wcomb, av, D, kd, data, err, VpinvT, VT, med_data, iters):
     c2 = jnp.sum(frac * VpinvT[2][None, :], axis=1, keepdims=True)
     fitted = c0 * VT[0][None, :] + c1 * VT[1][None, :] + c2 * VT[2][None, :]
     data_renorm = data / fitted
-    resid = (model - data_renorm) / err
+    resid = (model - data_renorm) * inv_err
     return jnp.mean(resid * resid, axis=1, keepdims=True)
 
 
@@ -147,7 +151,7 @@ def _spectrum_chi2_kernel(
     D_ref,  # [NO, nd]
     kd_ref,  # [1, nd]
     data_ref,  # [1, nd]
-    err_ref,  # [1, nd]
+    inv_err_ref,  # [1, nd] 1/err
     VpinvT_ref,  # [3, nd]
     VT_ref,  # [3, nd]
     out_ref,  # [B, 1]
@@ -156,7 +160,7 @@ def _spectrum_chi2_kernel(
     # contractions would round through bf16 on the MXU); V matrices arrive
     # pre-transposed as [3, nd]
     out_ref[:] = _spectrum_block(
-        Wc_ref[:], av_ref[:], D_ref[:], kd_ref[:], data_ref[:], err_ref[:],
+        Wc_ref[:], av_ref[:], D_ref[:], kd_ref[:], data_ref[:], inv_err_ref[:],
         VpinvT_ref[:], VT_ref[:], medd_ref[0, 0], _median_iters(),
     )
 
@@ -169,7 +173,7 @@ def _spectrum_chi2_fleet_kernel(
     D_ref,  # [1, NO, nd]   (per-target block)
     kd_ref,  # [1, 1, nd]
     data_ref,  # [1, 1, nd]
-    err_ref,  # [1, 1, nd]
+    inv_err_ref,  # [1, 1, nd] 1/err
     VpinvT_ref,  # [1, 3, nd]
     VT_ref,  # [1, 3, nd]
     out_ref,  # [B, 1]
@@ -206,7 +210,7 @@ def _spectrum_chi2_fleet_kernel(
     VT = VT_ref[0]
     fitted = c0 * VT[0][None, :] + c1 * VT[1][None, :] + c2 * VT[2][None, :]
     data_renorm = data_ref[0] / fitted
-    resid = (model - data_renorm) / err_ref[0]  # padded points: /inf -> 0
+    resid = (model - data_renorm) * inv_err_ref[0]  # padded: *0 -> 0
     out_ref[:] = jnp.sum(resid * resid, axis=1, keepdims=True) * inv_n
 
 
@@ -279,7 +283,7 @@ def spectrum_chi2_fleet(
         D.astype(f32),
         ext_k_data.astype(f32).reshape(ntgt, 1, nd),
         data_flux.astype(f32).reshape(ntgt, 1, nd),
-        data_err.astype(f32).reshape(ntgt, 1, nd),
+        (1.0 / data_err.astype(f32)).reshape(ntgt, 1, nd),
         Vpinv.astype(f32),  # [ntgt, 3, nd]
         jnp.swapaxes(V.astype(f32), 1, 2),  # [ntgt, 3, nd]
     )
@@ -340,7 +344,7 @@ def spectrum_chi2(
         D_flat.astype(f32),
         ext_k_data.astype(f32).reshape(1, nd),
         data_flux.astype(f32).reshape(1, nd),
-        data_err.astype(f32).reshape(1, nd),
+        (1.0 / data_err.astype(f32)).reshape(1, nd),
         Vpinv.astype(f32),
         V.T.astype(f32),
     )
@@ -394,7 +398,7 @@ def _posterior_kernel(
     D_ref,  # [NO, nd]
     kd_ref,  # [1, nd]
     data_ref,  # [1, nd]
-    err_ref,  # [1, nd]
+    inv_err_ref,  # [1, nd] 1/err
     VpinvT_ref,  # [3, nd]
     VT_ref,  # [3, nd]
     tentT_ref,  # [4, NO] Teff tent constants expanded to grid points
@@ -494,7 +498,7 @@ def _posterior_kernel(
     # --- spectrum chi^2 (shared block); nospec drops it (batched:151-153)
     if spectrum_weight != 0.0:
         chi_spec = _spectrum_block(
-            Wcomb, av, D_ref[:], kd_ref[:], data_ref[:], err_ref[:],
+            Wcomb, av, D_ref[:], kd_ref[:], data_ref[:], inv_err_ref[:],
             VpinvT_ref[:], VT_ref[:], med_data, _median_iters(),
         )
     else:
@@ -561,7 +565,7 @@ LN10 = 2.302585092994046
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
-def log_posterior_fused(p, tgt, block: int = 512, interpret: bool = False):
+def log_posterior_fused(p, tgt, block: int = 0, interpret: bool = False):
     """Fused ``log_posterior_batch`` — the whole eval in one Pallas call.
 
     Single-target (unpadded) variant; the wrapper mirrors the semantics of
@@ -569,12 +573,20 @@ def log_posterior_fused(p, tgt, block: int = 512, interpret: bool = False):
     ``tgt.n_contrast > 0`` and ``tgt.n_phot > 0`` (callers fall back to the
     XLA composition otherwise).
     """
+    import os
+
     NW = p.shape[0]
     ndim = tgt.ndim
     nT, nG, nd = tgt.D.shape
     NO = nT * nG
-    if nd > 3000:
-        block = min(block, 256)
+    if block == 0:  # default; MCMC_SPEC_EVAL_BLOCK overrides for tuning
+        # 256 measured faster than 512 for the fused kernel (more grid steps
+        # to pipeline, lower VMEM residency); the spectrum-only kernel keeps
+        # its measured-best 512
+        block = int(os.environ.get("MCMC_SPEC_EVAL_BLOCK", "256"))
+    # v5e scoped VMEM is ~16 MB; the kernel holds ~4 [block, nd] f32
+    # temporaries (block=1024 at nd=1792 was measured to OOM at 26.2 MB)
+    block = min(block, 512 if nd <= 2048 else (384 if nd <= 3000 else 256))
     if NW % block != 0:
         block = NW
     f32 = jnp.float32
@@ -631,7 +643,7 @@ def log_posterior_fused(p, tgt, block: int = 512, interpret: bool = False):
         tgt.D.astype(f32).reshape(NO, nd),
         tgt.ext_k_data.astype(f32).reshape(1, nd),
         tgt.data_flux.astype(f32).reshape(1, nd),
-        tgt.data_err.astype(f32).reshape(1, nd),
+        (1.0 / tgt.data_err.astype(f32)).reshape(1, nd),
         tgt.Vpinv.astype(f32),
         tgt.V.T.astype(f32),
         tT,

@@ -25,10 +25,22 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--results", required=True,
                     help="glob of per-system result dirs (each with samples.txt etc.)")
-    ap.add_argument("--star-catalog", required=True)
-    ap.add_argument("--planet-catalog", required=True)
+    ap.add_argument("--star-catalog", default=None)
+    ap.add_argument("--planet-catalog", default=None)
     ap.add_argument("--cks", default=None,
                     help="CSV with Rp [, Per] columns (radius-gap test + CKS KDE)")
+    # reference-format catalogs (planet_error_analysis.py:26-124): pass these
+    # instead of --star-catalog/--planet-catalog to consume the original files
+    ap.add_argument("--all-kois", default=None,
+                    help="reference all_kois.csv (NEA cumulative KOI export)")
+    ap.add_argument("--stellar-params", default=None,
+                    help="reference exoarchive_kepler_stellar_params.tsv")
+    ap.add_argument("--furlan-prcf", default=None,
+                    help="reference furlan2017_prcf.tsv")
+    ap.add_argument("--furlan-sample", default=None,
+                    help="reference furlan_sample.tsv (separations)")
+    ap.add_argument("--cks-rgap", default=None,
+                    help="reference cks_rgap.tsv (3 dtype rows, Samp flag)")
     ap.add_argument("--het-data", default=None,
                     help="HET_data tree (UT*/KOI-{target}_{date}) for obs.txt dates")
     ap.add_argument("--param-files", default=None,
@@ -60,12 +72,33 @@ def main(argv=None):
             print(f"[skip] {d}: {e}")
     print(f"loaded {len(systems)} systems")
 
-    # 'system' must stay a string: KOI ids like "0042" would otherwise parse
-    # as integers and silently fail to join with the result-dir names
-    star_catalog = pd.read_csv(args.star_catalog, dtype={"system": str})
-    planet_catalog = pd.read_csv(args.planet_catalog, dtype={"system": str})
+    if args.all_kois and args.stellar_params:
+        from mcmc_spec_tpu.analysis import catalogs as cat
+
+        star_catalog, planet_catalog = cat.build_catalogs(
+            [s.name for s in systems],
+            cat.load_all_kois(args.all_kois),
+            cat.load_kepler_stellar_params(args.stellar_params),
+            cat.load_furlan_prcf(args.furlan_prcf) if args.furlan_prcf else None,
+            cat.load_furlan_sample(args.furlan_sample) if args.furlan_sample else None,
+        )
+    elif args.star_catalog and args.planet_catalog:
+        # 'system' must stay a string: KOI ids like "0042" would otherwise
+        # parse as integers and silently fail to join with result-dir names
+        star_catalog = pd.read_csv(args.star_catalog, dtype={"system": str})
+        planet_catalog = pd.read_csv(args.planet_catalog, dtype={"system": str})
+    else:
+        raise SystemExit("pass --star-catalog/--planet-catalog, or the "
+                         "reference files via --all-kois/--stellar-params")
     cks_radii, cks_periods = None, None
-    if args.cks:
+    if args.cks_rgap:
+        from mcmc_spec_tpu.analysis import catalogs as cat
+
+        cks = cat.load_cks_rgap(args.cks_rgap)
+        cks_radii = cks["Rp"].to_numpy()
+        if "Per" in cks:
+            cks_periods = cks["Per"].to_numpy()
+    elif args.cks:
         cks = pd.read_csv(args.cks)
         cks_radii = cks["Rp"].to_numpy()
         if "Per" in cks:

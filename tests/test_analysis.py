@@ -230,3 +230,102 @@ class TestAnalysisCLI:
               "--out", out, "--no-plots"])
         assert os.path.exists(os.path.join(out, "derived_star.csv"))
         assert os.path.exists(os.path.join(out, "derived_planet.csv"))
+
+
+class TestReferenceCatalogLoaders:
+    """catalogs.py parses the reference's exact catalog file formats
+    (planet_error_analysis.py:26-124)."""
+
+    def _fixtures(self, tmp_path):
+        (tmp_path / "all_kois.csv").write_text(
+            "KIC ID,KOI,Radius (R_Earth),Radius error,Eq Temp (K),"
+            "Period (days),Period error,Insolation (Earth flux),"
+            "Insolation error,Planet Radius/Stellar Radius,"
+            "Planet Rad/Stellar Rad error\n"
+            "10000001,2298.01,2.1,0.2,700,10.0,0.01,50,5,0.02,0.002\n"
+            "10000001,2298.02,1.1,0.1,500,36.525,0.02,12,2,0.011,0.001\n"
+            "10000002,268.01,3.0,0.4,900,3.65,0.01,150,20,0.03,0.004\n"
+            "10000099,9999.01,9.0,0.9,100,365.25,0.1,1,0.1,0.09,0.009\n")
+        (tmp_path / "stellar.tsv").write_text(
+            "kepid\tteff\tteff_err1\tteff_err2\tradius\tradius_err1\t"
+            "radius_err2\tmass\tdist\n"
+            "10000001\t5100\t80\t-120\t0.9\t0.05\t-0.03\t0.85\t350\n"
+            "10000002\t6000\t100\t-90\t1.2\t0.08\t-0.1\t1.1\t500\n")
+        (tmp_path / "furlan_prcf.tsv").write_text(
+            "KOI\tOrbit\tAvg\n"
+            "2298\tprimary  \t1.12\n"
+            "2298\tcompanion\t2.30\n"
+            "268\tprimary  \t1.05\n"
+            "268\tcompanion\t1.80\n")
+        (tmp_path / "furlan_sample.tsv").write_text(
+            "KOI\tSep\n2298 \t0.53\n268 \t1.20\n")
+        (tmp_path / "cks_rgap.tsv").write_text(
+            "name\tRp\tSamp\n"
+            "---\t---\t---\n"
+            "str\tfloat\tstr\n"
+            "x\ty\tz\n"
+            "K1\t1.4\t1\nK2\t2.6\t1\nK3\t3.0\t0\n")
+        return tmp_path
+
+    def test_join_matches_reference_logic(self, tmp_path):
+        from mcmc_spec_tpu.analysis import catalogs as cat
+
+        d = self._fixtures(tmp_path)
+        star, planet = cat.build_catalogs(
+            ["2298", "0268"],
+            cat.load_all_kois(d / "all_kois.csv"),
+            cat.load_kepler_stellar_params(d / "stellar.tsv"),
+            cat.load_furlan_prcf(d / "furlan_prcf.tsv"),
+            cat.load_furlan_sample(d / "furlan_sample.tsv"),
+        )
+        # planets: only the two target systems, periods in years
+        assert sorted(planet["pname"]) == ["2298.01", "2298.02", "268.01"]
+        row = planet[planet["pname"] == "2298.02"].iloc[0]
+        assert abs(row["period"] - 0.1) < 1e-9  # 36.525 d / 365.25
+        # star joins through KIC; symmetric err = max(|err1|,|err2|)
+        s = star[star["system"] == "2298"].iloc[0]
+        assert s["kep_teff"] == 5100 and abs(s["kep_teff_err"] - 120) < 1e-9
+        assert abs(s["kep_pri_prcf"] - 1.12) < 1e-9
+        assert abs(s["kep_sec_prcf"] - 2.30) < 1e-9
+        assert abs(s["separation"] - 0.53) < 1e-9
+        s2 = star[star["system"] == "0268"].iloc[0]
+        assert abs(s2["kep_sec_prcf"] - 1.80) < 1e-9
+
+    def test_cks_rgap_filter(self, tmp_path):
+        from mcmc_spec_tpu.analysis import catalogs as cat
+
+        d = self._fixtures(tmp_path)
+        cks = cat.load_cks_rgap(d / "cks_rgap.tsv")
+        assert list(cks["Rp"]) == [1.4, 2.6]  # Samp==1 only, dtype rows dropped
+
+    def test_separation_hand_fixes(self, tmp_path):
+        from mcmc_spec_tpu.analysis import catalogs as cat
+
+        d = self._fixtures(tmp_path)
+        kois = cat.load_all_kois(d / "all_kois.csv")
+        # pretend 2298 were KOI 5971 by renaming: instead just check the map
+        star, _ = cat.build_catalogs(
+            ["2298"], kois, cat.load_kepler_stellar_params(d / "stellar.tsv"),
+            furlan_sample=cat.load_furlan_sample(d / "furlan_sample.tsv"))
+        assert abs(star.iloc[0]["separation"] - 0.53) < 1e-9
+        assert cat._SEPARATION_FIXES["7099"] == 0.084
+
+    def test_cli_with_reference_catalogs(self, tmp_path):
+        """End-to-end: CLI consumes the reference's original catalog files."""
+        import os
+
+        from mcmc_spec_tpu.analysis.__main__ import main
+
+        d = self._fixtures(tmp_path)
+        _fake_system(tmp_path, "2298", seed=0)
+        _fake_system(tmp_path, "0268", seed=1)
+        out = str(tmp_path / "pop_ref")
+        main(["--results", str(tmp_path / "koi*"),
+              "--all-kois", str(d / "all_kois.csv"),
+              "--stellar-params", str(d / "stellar.tsv"),
+              "--furlan-prcf", str(d / "furlan_prcf.tsv"),
+              "--furlan-sample", str(d / "furlan_sample.tsv"),
+              "--cks-rgap", str(d / "cks_rgap.tsv"),
+              "--out", out, "--no-plots"])
+        assert os.path.exists(os.path.join(out, "derived_star.csv"))
+        assert os.path.exists(os.path.join(out, "derived_planet.csv"))

@@ -49,12 +49,26 @@ def stack_targets(targets: Sequence[PackedTarget]) -> PackedTarget:
 def log_posterior_fleet(params, fleet: PackedTarget):
     """[ntgt, nw, ndim] -> [ntgt, nw] log posteriors.
 
-    On TPU/f32 the spectrum chi^2 runs through the fleet Pallas kernel
-    (per-target VMEM blocks, per-row median ranks); the rest of the posterior
-    is the vmapped batched path with the precomputed spectrum term.
+    Default TPU/f32 path: fleet spectrum Pallas kernel + vmapped batched
+    composition for the rest.  A fully-fused per-eval kernel
+    (``log_posterior_fleet_fused``) exists and is parity-tested, but measured
+    ~8% SLOWER than the composition at fleet scale (benchmarks/RESULTS.md —
+    XLA's big [ntgt*nw, .] batched matmuls beat in-kernel serialization of
+    the small ops), so it is opt-in via ``MCMC_SPEC_FUSED_EVAL=1``.
     """
+    import os
+
     from mcmc_spec_tpu.inference import batched
     from mcmc_spec_tpu.utils.flags import use_pallas_spectrum
+
+    if (
+        os.environ.get("MCMC_SPEC_FUSED_EVAL", "auto").lower() in ("1", "force")
+        and fleet.n_contrast > 0
+        and fleet.n_phot > 0
+    ):
+        from mcmc_spec_tpu.ops.pallas_kernels import log_posterior_fleet_fused
+
+        return log_posterior_fleet_fused(params, fleet)
 
     if fleet.spectrum_weight != 0.0 and use_pallas_spectrum(params.dtype):
         from mcmc_spec_tpu.ops.pallas_kernels import spectrum_chi2_fleet

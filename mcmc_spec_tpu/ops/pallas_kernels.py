@@ -659,3 +659,314 @@ def log_posterior_fused(p, tgt, block: int = 0, interpret: bool = False):
         jnp.stack([tgt.prior_mu, tgt.prior_sig]).astype(f32),
     )
     return out[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# Fused fleet posterior: the one-kernel-per-eval design for stacked targets.
+# Mirrors _posterior_kernel, with the fleet deltas of _spectrum_chi2_fleet_kernel:
+# per-target tables arrive as [1, ...] blocks selected by (program_id // bpt),
+# the median uses per-row ranks (padding-aware), the spectrum chi^2 is
+# sum*inv_n_true, and the chi^2 weight (n_contrast_true + n_phot_true) is a
+# per-row dynamic value (padded filters don't count).
+# ---------------------------------------------------------------------------
+
+
+def _fleet_posterior_kernel(
+    p_ref,  # [B, ndim]
+    metaf_ref,  # [B, 6]: tmin, tmax, med_data, inv_n_data, nc_true, np_true
+    ranks_ref,  # [B, 2] int32 median ranks
+    D_ref,  # [1, NO, nd]
+    kd_ref,  # [1, 1, nd]
+    data_ref,  # [1, 1, nd]
+    ierr_ref,  # [1, 1, nd]
+    VpinvT_ref,  # [1, 3, nd]
+    VT_ref,  # [1, 3, nd]
+    tentT_ref,  # [1, 4, NO]
+    tentG_ref,  # [1, 4, NO]
+    mist_tent_ref,  # [1, 4, nm]
+    mist_vals_ref,  # [1, 2, nm]
+    av_tent_ref,  # [1, 4, nav]
+    av_vals_ref,  # [1, 2, nav]
+    Fc_ref,  # [1, NO, nc]
+    Fp_ref,  # [1, NO, npf]
+    cobs_ref,  # [1, 2, nc]
+    pobs_ref,  # [1, 4, npf]
+    prior_ref,  # [1, 2, ndim]
+    out_ref,  # [B, 1]
+    *,
+    nspec,
+    fit_plx,
+    dist_fit,
+    rad_prior,
+    spectrum_weight,
+):
+    p = p_ref[:]
+    n = nspec
+    f32 = jnp.float32
+    tmin = metaf_ref[:, 0][:, None]
+    tmax = metaf_ref[:, 1][:, None]
+    med_data = metaf_ref[:, 2][:, None]
+    inv_n = metaf_ref[:, 3][:, None]
+    nc_t = metaf_ref[:, 4][:, None]
+    np_t = metaf_ref[:, 5][:, None]
+    tiny = jnp.asarray(jnp.finfo(f32).tiny, f32)
+
+    teffs = [p[:, s : s + 1] for s in range(n)]
+    av = p[:, n : n + 1]
+    if fit_plx:
+        r1 = p[:, n + 1 : n + 2]
+        ratios = [p[:, n + 1 + s : n + 2 + s] for s in range(1, n)]
+        plx = p[:, 2 * n + 1 : 2 * n + 2]
+    else:
+        r1 = jnp.ones_like(av)
+        ratios = [p[:, n + s : n + 1 + s] for s in range(1, n)]
+        plx = jnp.zeros_like(av)
+
+    if fit_plx:
+        base = (r1 * _RSUN_CM * plx / _PC_CM) ** 2
+        scales = [base] + [base * r**2 for r in ratios]
+    else:
+        scales = [jnp.ones_like(r1)] + [r**2 for r in ratios]
+
+    mist_tc = mist_tent_ref[0]
+    logg_nodes = mist_vals_ref[0, 0][None, :]
+    lum_nodes = mist_vals_ref[0, 1][None, :]
+    tT = tentT_ref[0]
+    tG = tentG_ref[0]
+    Wcomb = None
+    cmags = []
+    mrads = []
+    for s in range(n):
+        wm = _tent_w(mist_tc, teffs[s])
+        logg_s = jnp.sum(wm * logg_nodes, axis=1, keepdims=True)
+        Wk = _tent_w(tT, teffs[s]) * _tent_w(tG, logg_s)
+        sWk = scales[s] * Wk
+        Wcomb = sWk if Wcomb is None else Wcomb + sWk
+        cflux = _dot_f32(sWk, Fc_ref[0])
+        cmags.append(-2.5 / LN10 * jnp.log(jnp.maximum(cflux, tiny)))
+        if rad_prior:
+            lum_s = jnp.sum(wm * lum_nodes, axis=1, keepdims=True)
+            mrads.append(
+                jnp.sqrt(lum_s * _LSUN / (4.0 * jnp.pi * _SIGMA_SB * teffs[s] ** 4))
+                / _RSUN
+            )
+
+    nc = Fc_ref.shape[2]
+    if n == 1:
+        contrasts = jnp.zeros((p.shape[0], nc), f32)
+    elif n == 2:
+        contrasts = cmags[1] - cmags[0]
+    else:
+        col = jax.lax.broadcasted_iota(jnp.int32, (p.shape[0], nc), 1)
+        contrasts = jnp.where(col < nc // 2, cmags[1] - cmags[0], cmags[2] - cmags[0])
+
+    pflux = _dot_f32(Wcomb, Fp_ref[0])
+    phot = -2.5 / LN10 * jnp.log(jnp.maximum(pflux / pobs_ref[0, 2][None, :], tiny))
+    phot = jnp.where(av > 0, phot + av * pobs_ref[0, 3][None, :], phot)
+
+    chi_c = jnp.sum(
+        ((contrasts - cobs_ref[0, 0][None, :]) / cobs_ref[0, 1][None, :]) ** 2,
+        axis=1, keepdims=True,
+    )
+    chi_p = jnp.sum(
+        ((phot - pobs_ref[0, 0][None, :]) / pobs_ref[0, 1][None, :]) ** 2,
+        axis=1, keepdims=True,
+    )
+
+    if spectrum_weight != 0.0:
+        model = _dot_f32(Wcomb, D_ref[0])
+        trans = jnp.where(av > 0, jnp.exp(LN10_04 * av * kd_ref[0]), 1.0)
+        model = model * trans
+        mi = jax.lax.bitcast_convert_type(model, jnp.int32)
+        it = _median_iters()
+        r1b = ranks_ref[:, 0][:, None]
+        r2b = ranks_ref[:, 1][:, None]
+        v1 = _row_order_stat_bits(mi, r1b, it)
+        x1 = jax.lax.bitcast_convert_type(v1, jnp.float32)
+        if it < 31:
+            med = x1
+        else:
+            cnt1 = jnp.sum((mi <= v1).astype(jnp.int32), axis=1, keepdims=True)
+            bigger = jnp.where(mi > v1, model, jnp.inf)
+            x2 = jnp.where(cnt1 >= r2b, x1, jnp.min(bigger, axis=1, keepdims=True))
+            med = 0.5 * (x1 + x2)
+        model = model * (med_data / med)
+        frac = data_ref[0] / model
+        Vp = VpinvT_ref[0]
+        c0 = jnp.sum(frac * Vp[0][None, :], axis=1, keepdims=True)
+        c1 = jnp.sum(frac * Vp[1][None, :], axis=1, keepdims=True)
+        c2 = jnp.sum(frac * Vp[2][None, :], axis=1, keepdims=True)
+        VT = VT_ref[0]
+        fitted = c0 * VT[0][None, :] + c1 * VT[1][None, :] + c2 * VT[2][None, :]
+        data_renorm = data_ref[0] / fitted
+        resid = (model - data_renorm) * ierr_ref[0]  # padded: *0 -> 0
+        chi_spec = jnp.sum(resid * resid, axis=1, keepdims=True) * inv_n
+    else:
+        chi_spec = jnp.zeros_like(chi_c)
+
+    if fit_plx:
+        weight = nc_t + np_t
+    else:
+        weight = nc_t
+        chi_p = jnp.zeros_like(chi_p)
+    cs = spectrum_weight * weight * chi_spec + chi_c + chi_p
+    ll = jnp.where(jnp.isnan(cs), -jnp.inf, -0.5 * cs)
+
+    lp = jnp.zeros_like(av)
+    if fit_plx:
+        dist_pc = 1.0 / jnp.maximum(plx, 1e-12)
+        logd = jnp.log(jnp.maximum(dist_pc, 1e-3))
+        wav = _tent_w(av_tent_ref[0], logd)
+        mu = jnp.sum(wav * av_vals_ref[0, 0][None, :], axis=1, keepdims=True)
+        sig = jnp.sum(wav * av_vals_ref[0, 1][None, :], axis=1, keepdims=True)
+        lp += -0.5 * ((av - mu) / sig) ** 2
+
+    pmu = prior_ref[0, 0][None, :]
+    psig = prior_ref[0, 1][None, :]
+    lp += jnp.sum(
+        jnp.where(pmu != 0, -0.5 * ((p - pmu) / psig) ** 2, 0.0),
+        axis=1, keepdims=True,
+    )
+
+    if rad_prior:
+        m1 = mrads[0]
+        model_vals = [m1] + [m / m1 for m in mrads[1:]]
+        rvals = [r1] + ratios if fit_plx else ratios
+        if not fit_plx:
+            model_vals = model_vals[1:]
+        for rv, mv in zip(rvals, model_vals):
+            lp += -0.5 * ((rv - mv) / (0.02 * mv)) ** 2
+
+    ok = (av >= 0)
+    for t in teffs:
+        ok = jnp.logical_and(ok, jnp.logical_and(t <= tmax, t >= tmin))
+    for r in ratios:
+        ok = jnp.logical_and(ok, r >= 0.05)
+    if fit_plx:
+        ok = jnp.logical_and(ok, r1 >= 0.05)
+        if dist_fit:
+            plx_hi = 0.01 if spectrum_weight == 0.0 else 0.25
+            if n <= 2:
+                ok = jnp.logical_and(ok, r1 <= 1.5)
+                ok = jnp.logical_and(ok, plx >= 1.0 / 3000.0)
+                ok = jnp.logical_and(ok, plx <= plx_hi)
+            else:
+                ok = jnp.logical_and(ok, plx >= 1.0 / 1000.0)
+                ok = jnp.logical_and(ok, plx <= plx_hi)
+    lp = jnp.where(ok, lp, -jnp.inf)
+
+    out_ref[:] = jnp.where(jnp.isfinite(lp), lp + ll, -jnp.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def log_posterior_fleet_fused(params, fleet, block: int = 0,
+                              interpret: bool = False):
+    """Fused fleet eval: [ntgt, nw, ndim] -> [ntgt, nw], one Pallas program.
+
+    Padding-aware counterpart of ``log_posterior_fused`` (see
+    ``inference.fleet``): per-row median ranks, sum*1/n_true spectrum chi^2,
+    dynamic (n_contrast_true + n_phot_true) weights.
+    """
+    import os
+
+    ntgt, nw, ndim = params.shape
+    nT, nG, nd = fleet.D.shape[1:]
+    NO = nT * nG
+    if block == 0:
+        block = int(os.environ.get("MCMC_SPEC_EVAL_BLOCK", "256"))
+    block = min(block, 512 if nd <= 2048 else (384 if nd <= 3000 else 256))
+    if nw % block != 0:
+        block = nw
+    bpt = nw // block
+    f32 = jnp.float32
+
+    tcT = jax.vmap(_tent_consts)(fleet.temps)  # [ntgt, 4, nT]
+    tcG = jax.vmap(_tent_consts)(fleet.loggs)
+    tT = jnp.repeat(tcT, nG, axis=2)  # [ntgt, 4, NO]
+    tG = jnp.tile(tcG, (1, 1, nT))
+
+    n_true = fleet.n_data_true.astype(jnp.int32)
+    r1 = (n_true + 1) // 2
+    r2 = n_true // 2 + 1
+    ranks = jnp.broadcast_to(
+        jnp.stack([r1, r2], axis=-1)[:, None, :], (ntgt, nw, 2)
+    ).reshape(ntgt * nw, 2)
+    metaf = jnp.broadcast_to(
+        jnp.stack([
+            fleet.tmin.astype(f32), fleet.tmax.astype(f32),
+            fleet.med_data.astype(f32), 1.0 / n_true.astype(f32),
+            fleet.n_contrast_true.astype(f32), fleet.n_phot_true.astype(f32),
+        ], axis=-1)[:, None, :],
+        (ntgt, nw, 6),
+    ).reshape(ntgt * nw, 6)
+
+    kern = functools.partial(
+        _fleet_posterior_kernel,
+        nspec=fleet.nspec,
+        fit_plx=fleet.fit_plx,
+        dist_fit=fleet.dist_fit,
+        rad_prior=fleet.rad_prior,
+        spectrum_weight=fleet.spectrum_weight,
+    )
+    nc, npf = fleet.cmag.shape[1], fleet.pmag.shape[1]
+    nm = fleet.mist_teff_nodes.shape[1]
+    nav = fleet.av_logd_nodes.shape[1]
+
+    row = lambda shape: pl.BlockSpec(shape, lambda i: (i,) + (0,) * (len(shape) - 1))
+    tgtb = lambda shape: pl.BlockSpec(
+        shape, lambda i: (i // bpt,) + (0,) * (len(shape) - 1))
+    out = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(ntgt * bpt,),
+            in_specs=[
+                row((block, ndim)),
+                row((block, 6)),
+                row((block, 2)),
+                tgtb((1, NO, nd)),
+                tgtb((1, 1, nd)),
+                tgtb((1, 1, nd)),
+                tgtb((1, 1, nd)),
+                tgtb((1, 3, nd)),
+                tgtb((1, 3, nd)),
+                tgtb((1, 4, NO)),
+                tgtb((1, 4, NO)),
+                tgtb((1, 4, nm)),
+                tgtb((1, 2, nm)),
+                tgtb((1, 4, nav)),
+                tgtb((1, 2, nav)),
+                tgtb((1, NO, nc)),
+                tgtb((1, NO, npf)),
+                tgtb((1, 2, nc)),
+                tgtb((1, 4, npf)),
+                tgtb((1, 2, ndim)),
+            ],
+            out_specs=pl.BlockSpec((block, 1), lambda i: (i, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((ntgt * nw, 1), f32),
+        interpret=interpret,
+    )(
+        params.astype(f32).reshape(ntgt * nw, ndim),
+        metaf,
+        ranks,
+        fleet.D.astype(f32).reshape(ntgt, NO, nd),
+        fleet.ext_k_data.astype(f32).reshape(ntgt, 1, nd),
+        fleet.data_flux.astype(f32).reshape(ntgt, 1, nd),
+        (1.0 / fleet.data_err.astype(f32)).reshape(ntgt, 1, nd),
+        fleet.Vpinv.astype(f32),
+        jnp.swapaxes(fleet.V.astype(f32), 1, 2),
+        tT,
+        tG,
+        jax.vmap(_tent_consts)(fleet.mist_teff_nodes),
+        jnp.stack([fleet.mist_logg_nodes, fleet.mist_lum_nodes], axis=1).astype(f32),
+        jax.vmap(_tent_consts)(fleet.av_logd_nodes),
+        jnp.stack([fleet.av_mu_nodes, fleet.av_sig_nodes], axis=1).astype(f32),
+        fleet.Fc.astype(f32).reshape(ntgt, NO, nc),
+        fleet.Fp.astype(f32).reshape(ntgt, NO, npf),
+        jnp.stack([fleet.cmag, fleet.cerr], axis=1).astype(f32),
+        jnp.stack([fleet.pmag, fleet.perr, fleet.phot_zp, fleet.ext_k_cwl],
+                  axis=1).astype(f32),
+        jnp.stack([fleet.prior_mu, fleet.prior_sig], axis=1).astype(f32),
+    )
+    return out.reshape(ntgt, nw)

@@ -192,3 +192,45 @@ class TestFusedPosteriorKernel:
         _, tgt = make_setup(dtype=jnp.float32)
         assert batched._fusable(tgt)
         assert not batched._fusable(dataclasses.replace(tgt, spectrum_backend="xla"))
+
+
+class TestFusedFleetKernel:
+    """log_posterior_fleet_fused vs the vmapped XLA composition on a ragged,
+    padded fleet (padding must be inert through the whole fused eval)."""
+
+    def test_matches_vmapped_xla(self):
+        from tests.test_fleet import _make_target, _walkers
+        from mcmc_spec_tpu.inference.fleet import stack_targets
+        from mcmc_spec_tpu.ops.pallas_kernels import log_posterior_fleet_fused
+
+        specs = [(300, 2, 21), (260, 1, 22), (300, 2, 23)]
+        singles = [_make_target(nd, nc, seed, pad_nd=320, pad_nc=2,
+                                dtype=jnp.float32)
+                   for nd, nc, seed in specs]
+        fleet = stack_targets(singles)
+        P = jnp.stack([_walkers(16, seed=i) for i in range(3)]).astype(jnp.float32)
+
+        ref = np.asarray(jax.vmap(batched.log_posterior_batch)(P, fleet))
+        got = np.asarray(log_posterior_fleet_fused(P, fleet, interpret=True))
+        np.testing.assert_array_equal(np.isfinite(got), np.isfinite(ref))
+        fin = np.isfinite(ref)
+        assert fin.any()
+        np.testing.assert_allclose(got[fin], ref[fin], rtol=5e-5,
+                                   atol=1e-4 * np.abs(ref[fin]).max())
+
+    def test_padding_inert(self):
+        """A padded and an unpadded copy of the same target must agree."""
+        from tests.test_fleet import _make_target, _walkers
+        from mcmc_spec_tpu.inference.fleet import stack_targets
+        from mcmc_spec_tpu.ops.pallas_kernels import log_posterior_fleet_fused
+
+        base = _make_target(300, 2, 7, dtype=jnp.float32)
+        padded = _make_target(300, 2, 7, pad_nd=352, pad_nc=3, dtype=jnp.float32)
+        P = _walkers(16, seed=3).astype(jnp.float32)[None]
+        got_pad = np.asarray(log_posterior_fleet_fused(
+            P, stack_targets([padded]), interpret=True))[0]
+        ref = np.asarray(batched.log_posterior_batch(P[0], base))
+        fin = np.isfinite(ref)
+        np.testing.assert_array_equal(np.isfinite(got_pad), fin)
+        np.testing.assert_allclose(got_pad[fin], ref[fin], rtol=5e-5,
+                                   atol=1e-4 * np.abs(ref[fin]).max())

@@ -166,3 +166,75 @@ class Checkpoint:
     @classmethod
     def maybe_load(cls, path: str) -> Optional["Checkpoint"]:
         return cls.load(path) if os.path.exists(path) else None
+
+
+# --- checkpoint backend dispatch -------------------------------------------
+#
+# Default backend: the atomic npz above (exact-resume, single-host).
+# ``MCMC_SPEC_CKPT_BACKEND=orbax`` switches to orbax.checkpoint
+# (``<path>.orbax/`` directory), which adds async writes and sharded-array
+# (multi-host) support; resume stays bit-identical (tests/test_resume.py).
+
+
+def _ckpt_backend() -> str:
+    mode = os.environ.get("MCMC_SPEC_CKPT_BACKEND", "npz").lower()
+    if mode not in ("npz", "orbax"):
+        raise ValueError(f"bad MCMC_SPEC_CKPT_BACKEND={mode!r}")
+    return mode
+
+
+def _orbax_dir(path: str) -> str:
+    return os.path.abspath(path) + ".orbax"
+
+
+def save_checkpoint(ck: "Checkpoint", path: str) -> None:
+    if _ckpt_backend() == "npz":
+        ck.save(path)
+        return
+    import orbax.checkpoint as ocp
+
+    tree = dict(
+        coords=np.asarray(ck.coords), log_prob=np.asarray(ck.log_prob),
+        key=np.asarray(ck.key), step=np.asarray(ck.step),
+        n_accept=np.asarray(ck.n_accept),
+    )
+    if ck.chain is not None:
+        tree["chain"] = np.asarray(ck.chain)
+    d = _orbax_dir(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(d, tree, force=True)
+    # config tag rides next to the tree (orbax trees hold arrays, not strings)
+    with open(os.path.join(d, "config_tag.txt"), "w") as f:
+        f.write(ck.config_tag)
+
+
+def maybe_load_checkpoint(path: str) -> Optional["Checkpoint"]:
+    if _ckpt_backend() == "npz":
+        return Checkpoint.maybe_load(path)
+    import orbax.checkpoint as ocp
+
+    d = _orbax_dir(path)
+    if not os.path.isdir(d):
+        return None
+    with ocp.PyTreeCheckpointer() as ckptr:
+        tree = ckptr.restore(d)
+    tag_path = os.path.join(d, "config_tag.txt")
+    tag = open(tag_path).read() if os.path.exists(tag_path) else ""
+    return Checkpoint(
+        coords=np.asarray(tree["coords"]), log_prob=np.asarray(tree["log_prob"]),
+        key=np.asarray(tree["key"]), step=int(tree["step"]),
+        n_accept=int(tree["n_accept"]),
+        chain=np.asarray(tree["chain"]) if "chain" in tree else None,
+        config_tag=tag,
+    )
+
+
+def remove_checkpoint(path: str) -> None:
+    """Completion cleanup for whichever backend wrote the checkpoint."""
+    if os.path.exists(path):
+        os.remove(path)
+    d = _orbax_dir(path)
+    if os.path.isdir(d):
+        import shutil
+
+        shutil.rmtree(d)

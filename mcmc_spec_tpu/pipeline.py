@@ -395,7 +395,7 @@ def run_mcmc_stage(
     config_tag = (f"{cfg.fname}:{cfg.nspec}:{p0.shape[0]}x{p0.shape[1]}:"
                   f"{cfg.nsteps}:{cfg.seed}:{cfg.spectrum_weight}")
 
-    ckpt = results_io.Checkpoint.maybe_load(ckpt_path) if resume else None
+    ckpt = results_io.maybe_load_checkpoint(ckpt_path) if resume else None
     prior_chain = None
     if ckpt is not None and ckpt.config_tag and ckpt.config_tag != config_tag:
         print("[resume] checkpoint belongs to a different run config; ignoring")
@@ -435,11 +435,11 @@ def run_mcmc_stage(
                                stage="results")
         if checkpoint_every and (n + 1) % checkpoint_every == 0:
             store.append(n, chain)
-            results_io.Checkpoint(
+            results_io.save_checkpoint(results_io.Checkpoint(
                 driver.coords(state), driver.log_prob(state),
                 np.asarray(state.key), n_done, int(state.n_accept),
                 chain=None, config_tag=config_tag,
-            ).save(ckpt_path)
+            ), ckpt_path)
         if check_convergence:
             full = np.concatenate(kept, axis=0)
             taus = integrated_time(full)
@@ -471,7 +471,6 @@ def run_mcmc_stage(
     samples = chain.reshape(-1, chain.shape[-1])
     results_io.write_samples(cfg.dirname, samples)
     # a completed run's checkpoint would otherwise short-circuit the next one
-    if os.path.exists(ckpt_path):
-        os.remove(ckpt_path)
+    results_io.remove_checkpoint(ckpt_path)
     store.clear()
     return samples

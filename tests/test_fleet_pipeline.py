@@ -231,3 +231,48 @@ class TestShardedMcmcStage:
         cfg_b.dirname = "fit1_mismatch"
         with pytest.raises(ValueError, match="fleet targets must match"):
             setup_fleet([cfg_a, cfg_b], dtype=jnp.float64)
+
+
+class TestOrbaxPipelineResume:
+    def test_orbax_resume_bit_identical(self, fleet_fixture, monkeypatch):
+        """Same interrupted-resume flow with the orbax checkpoint backend."""
+        from mcmc_spec_tpu import pipeline
+        from mcmc_spec_tpu.pipeline import run_mcmc_stage, setup_context
+        from mcmc_spec_tpu.utils.config import FitConfig
+
+        monkeypatch.setenv("MCMC_SPEC_CKPT_BACKEND", "orbax")
+        p0 = fleet_fixture["p0"]
+
+        def make_ctx(dirname):
+            cfg = FitConfig.from_file(fleet_fixture["parfiles"][0])
+            cfg.dirname = dirname
+            cfg.nsteps = 200
+            ctx = setup_context(cfg, dtype=jnp.float64)
+            return ctx
+
+        s_full = run_mcmc_stage(make_ctx("fito_uninterrupted"), p0=p0, nthin=50,
+                                check_convergence=False, resume=False, mesh="auto")
+
+        ctx = make_ctx("fito_interrupted")
+        real_dump = pipeline.results_io.dump_coords
+        calls = {"n": 0}
+
+        def exploding_dump(dirname, fname, step, coords, stage="results"):
+            if stage == "results":
+                calls["n"] += 1
+                if calls["n"] == 3:
+                    raise RuntimeError("simulated crash")
+            return real_dump(dirname, fname, step, coords, stage=stage)
+
+        monkeypatch.setattr(pipeline.results_io, "dump_coords", exploding_dump)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            run_mcmc_stage(ctx, p0=p0, nthin=50, check_convergence=False,
+                           resume=False, mesh="auto")
+        monkeypatch.setattr(pipeline.results_io, "dump_coords", real_dump)
+
+        assert os.path.isdir("fito_interrupted/chain_checkpoint.npz.orbax")
+        s_resumed = run_mcmc_stage(make_ctx("fito_interrupted"), p0=p0, nthin=50,
+                                   check_convergence=False, resume=True,
+                                   mesh="auto")
+        np.testing.assert_allclose(s_resumed, s_full, rtol=1e-12)
+        assert not os.path.isdir("fito_interrupted/chain_checkpoint.npz.orbax")

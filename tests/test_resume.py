@@ -59,3 +59,44 @@ class TestMiscOps:
 
     def test_find_nearest(self):
         assert int(find_nearest(jnp.asarray([1.0, 2.0, 5.0]), 2.3)) == 1
+
+
+class TestOrbaxBackend:
+    """MCMC_SPEC_CKPT_BACKEND=orbax: same exact-resume semantics, orbax tree."""
+
+    def test_roundtrip(self, tmp_path, monkeypatch):
+        from mcmc_spec_tpu.io import results as rio
+
+        monkeypatch.setenv("MCMC_SPEC_CKPT_BACKEND", "orbax")
+        path = str(tmp_path / "ck.npz")
+        ck = rio.Checkpoint(
+            coords=np.random.randn(8, 3), log_prob=np.random.randn(8),
+            key=np.asarray(jax.random.PRNGKey(5)), step=700, n_accept=123,
+            chain=np.random.randn(7, 8, 3), config_tag="cfg:1",
+        )
+        rio.save_checkpoint(ck, path)
+        assert not os.path.exists(path)  # npz not written in orbax mode
+        ck2 = rio.maybe_load_checkpoint(path)
+        np.testing.assert_array_equal(ck.coords, ck2.coords)
+        np.testing.assert_array_equal(ck.key, ck2.key)
+        assert ck2.step == 700 and ck2.n_accept == 123
+        assert ck2.config_tag == "cfg:1"
+        assert ck2.chain.shape == (7, 8, 3)
+        # overwrite (force=True) and cleanup
+        rio.save_checkpoint(ck, path)
+        rio.remove_checkpoint(path)
+        assert rio.maybe_load_checkpoint(path) is None
+
+    def test_npz_default_unchanged(self, tmp_path):
+        from mcmc_spec_tpu.io import results as rio
+
+        path = str(tmp_path / "ck.npz")
+        ck = rio.Checkpoint(
+            coords=np.zeros((4, 2)), log_prob=np.zeros(4),
+            key=np.asarray(jax.random.PRNGKey(0)), step=10,
+        )
+        rio.save_checkpoint(ck, path)
+        assert os.path.exists(path)
+        assert rio.maybe_load_checkpoint(path).step == 10
+        rio.remove_checkpoint(path)
+        assert rio.maybe_load_checkpoint(path) is None

@@ -268,7 +268,12 @@ def log_posterior_batch(p, tgt: PackedTarget, chi_spec=None):
         if use_fused_eval(p.dtype):
             from mcmc_spec_tpu.ops.pallas_kernels import log_posterior_fused
 
-            return log_posterior_fused(p, tgt)
+            # off-TPU (MCMC_SPEC_FUSED_EVAL=1 on CPU) runs the same kernel
+            # through the Pallas interpreter, so tests can drive the whole
+            # pipeline down the fused path
+            return log_posterior_fused(
+                p, tgt, interpret=jax.default_backend() != "tpu"
+            )
 
     lp = log_prior_batch(p, tgt)
     ll = log_likelihood_batch(p, tgt, chi_spec=chi_spec)

@@ -68,7 +68,9 @@ def log_posterior_fleet(params, fleet: PackedTarget):
     ):
         from mcmc_spec_tpu.ops.pallas_kernels import log_posterior_fleet_fused
 
-        return log_posterior_fleet_fused(params, fleet)
+        return log_posterior_fleet_fused(
+            params, fleet, interpret=jax.default_backend() != "tpu"
+        )
 
     if fleet.spectrum_weight != 0.0 and use_pallas_spectrum(params.dtype):
         from mcmc_spec_tpu.ops.pallas_kernels import spectrum_chi2_fleet

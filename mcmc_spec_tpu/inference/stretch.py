@@ -124,9 +124,11 @@ def run_ensemble(
     def outer(carry, _):
         c0, c1, lp0, lp1, key, n_acc = carry
         key, kz, kp, ka = jax.random.split(key, 4)
-        z = _stretch_z(kz, (thin, 2, nh), a)
+        # draws in the ensemble dtype: under x64 the default f64 draws would
+        # otherwise promote the carried halves out of their dtype
+        z = _stretch_z(kz, (thin, 2, nh), a).astype(c0.dtype)
         partner_idx = jax.random.randint(kp, (thin, 2, nh), 0, nh)
-        log_u = jnp.log(jax.random.uniform(ka, (thin, 2, nh)))
+        log_u = jnp.log(jax.random.uniform(ka, (thin, 2, nh))).astype(lp0.dtype)
 
         def inner(c, x):
             c0, c1, lp0, lp1, n_acc = c

@@ -234,3 +234,20 @@ class TestFusedFleetKernel:
         np.testing.assert_array_equal(np.isfinite(got_pad), fin)
         np.testing.assert_allclose(got_pad[fin], ref[fin], rtol=5e-5,
                                    atol=1e-4 * np.abs(ref[fin]).max())
+
+
+class TestFusedFlagOnCpu:
+    def test_sampler_through_fused_interpreter(self, monkeypatch):
+        """MCMC_SPEC_FUSED_EVAL=1 off-TPU drives the interpreter end-to-end."""
+        from mcmc_spec_tpu.inference.stretch import init_ensemble, run_ensemble
+
+        monkeypatch.setenv("MCMC_SPEC_FUSED_EVAL", "1")
+        st, tgt = make_setup(dtype=jnp.float32)
+        rng = np.random.RandomState(0)
+        P = jnp.asarray(np.stack([st["p_truth"] * (1 + 0.01 * rng.randn(6))
+                                  for _ in range(8)]), jnp.float32)
+        logp = lambda b: batched.log_posterior_batch(b, tgt)
+        state = init_ensemble(P, logp, jax.random.PRNGKey(0))
+        assert np.all(np.isfinite(np.asarray(state.log_prob)))
+        state, chain, _ = run_ensemble(state, logp, n_steps=4, thin=4)
+        assert np.all(np.isfinite(np.asarray(chain)))

@@ -183,14 +183,27 @@ class SpectralGrid:
         (erg/s/cm^2/cm -> per Angstrom, ``mft6.py:487-504``).
         """
         from mcmc_spec_tpu.ops.broaden import redres
+        from mcmc_spec_tpu.runtime import native_loader
+
+        # batch-threaded native reads; per-file throughput matches numpy's
+        # fast single-column parser, the win is one thread per file on
+        # multi-core hosts (the reference reads these serially, mft6.py:271)
+        reader = native_loader.maybe_reader()
+        if reader is not None and not getattr(reader, "_has_single", False):
+            reader = None  # stale pre-built .so
+
+        def load_column(path):
+            if reader is not None:
+                return reader.read_single_column(path)
+            return np.loadtxt(path)
 
         wave_file = os.path.join(grid_dir, "WAVE_PHOENIX-ACES-AGSS-COND-2011.fits.txt")
-        spwave = np.loadtxt(wave_file)
+        spwave = load_column(wave_file)
         idx = (spwave >= min(specrange)) & (spwave <= max(specrange))
         spwave = spwave[idx]
 
         pat = re.compile(r"lte(?P<t>\d{5})-(?P<g>[\d.]+)0?-")
-        entries = []
+        selected = []
         for path in sorted(glob(os.path.join(grid_dir, "lte*txt"))):
             m = pat.search(os.path.basename(path))
             if not m:
@@ -198,7 +211,16 @@ class SpectralGrid:
             t, g = float(m.group("t")), float(m.group("g"))
             if not (min(trange) <= t <= max(trange) and min(lgrange) <= g <= max(lgrange)):
                 continue
-            sflux = np.loadtxt(path)[: len(idx)][idx] / 1e8
+            selected.append((t, g, path))
+
+        if reader is not None and selected:
+            fluxes = reader.read_many_single([p for _, _, p in selected])
+        else:
+            fluxes = [np.loadtxt(p) for _, _, p in selected]
+
+        entries = []
+        for (t, g, _path), raw in zip(selected, fluxes):
+            sflux = raw[: len(idx)][idx] / 1e8
             wl, f = spwave, sflux
             res_element = np.mean(spwave) / resolution
             spacing = spwave[1] - spwave[0]

@@ -99,6 +99,66 @@ void msq_read_many(const char** paths, long nfiles, double lo, double hi,
     for (auto& th : threads) th.join();
 }
 
+// Reads every whitespace-separated float in `path` (single-column layout:
+// the PHOENIX HiRes flux/wave files hold one value per line,
+// mft6.py:271-279).  Returns a malloc'd buffer of n doubles.
+double* msq_read_single_column(const char* path, long* n_out) {
+    *n_out = 0;
+    int fd = open(path, O_RDONLY);
+    if (fd < 0) return nullptr;
+    struct stat st;
+    if (fstat(fd, &st) != 0 || st.st_size == 0) {
+        close(fd);
+        return nullptr;
+    }
+    size_t size = static_cast<size_t>(st.st_size);
+    char* data = static_cast<char*>(mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0));
+    close(fd);
+    if (data == MAP_FAILED) return nullptr;
+
+    std::vector<double> vals;
+    vals.reserve(1 << 18);
+    const char* p = data;
+    const char* end = data + size;
+    while (p < end) {
+        char* next = nullptr;
+        double a = strtod(p, &next);
+        if (next == p) {
+            ++p;
+            continue;
+        }
+        vals.push_back(a);
+        p = next;
+    }
+    munmap(data, size);
+
+    long n = static_cast<long>(vals.size());
+    double* out = static_cast<double*>(malloc(sizeof(double) * (n > 0 ? n : 1)));
+    if (!out) return nullptr;
+    memcpy(out, vals.data(), sizeof(double) * n);
+    *n_out = n;
+    return out;
+}
+
+// Parallel batch single-column read (HiRes grid preload).
+void msq_read_many_single(const char** paths, long nfiles, double** results,
+                          long* counts, int nthreads) {
+    if (nthreads <= 0) nthreads = static_cast<int>(std::thread::hardware_concurrency());
+    if (nthreads <= 0) nthreads = 4;
+    std::atomic<long> cursor{0};
+    auto worker = [&]() {
+        for (;;) {
+            long i = cursor.fetch_add(1);
+            if (i >= nfiles) break;
+            results[i] = msq_read_single_column(paths[i], &counts[i]);
+        }
+    };
+    std::vector<std::thread> threads;
+    int nt = static_cast<int>(nfiles < nthreads ? nfiles : nthreads);
+    for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+    for (auto& th : threads) th.join();
+}
+
 void msq_free(double* p) { free(p); }
 
 }  // extern "C"

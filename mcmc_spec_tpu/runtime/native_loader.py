@@ -39,6 +39,17 @@ class NativeReader:
         ]
         lib.msq_free.restype = None
         lib.msq_free.argtypes = [ctypes.POINTER(ctypes.c_double)]
+        # single-column readers may be absent in a stale pre-built .so
+        self._has_single = hasattr(lib, "msq_read_single_column")
+        if self._has_single:
+            lib.msq_read_single_column.restype = ctypes.POINTER(ctypes.c_double)
+            lib.msq_read_single_column.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_long)]
+            lib.msq_read_many_single.restype = None
+            lib.msq_read_many_single.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_long,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
+                ctypes.POINTER(ctypes.c_long), ctypes.c_int]
 
     def read_two_columns(self, path: str, lo: float, hi: float):
         n = ctypes.c_long(0)
@@ -52,6 +63,39 @@ class NativeReader:
         finally:
             self._lib.msq_free(ptr)
         return wl, fx
+
+    def read_single_column(self, path: str):
+        if not self._has_single:
+            raise IOError("stale libfastascii.so without single-column support")
+        n = ctypes.c_long(0)
+        ptr = self._lib.msq_read_single_column(path.encode(), ctypes.byref(n))
+        if not ptr:
+            raise IOError(f"native reader failed on {path}")
+        try:
+            buf = np.ctypeslib.as_array(ptr, shape=(max(n.value, 1),))
+            return np.array(buf[: n.value], dtype=np.float64)
+        finally:
+            self._lib.msq_free(ptr)
+
+    def read_many_single(self, paths, nthreads: int = 0):
+        if not self._has_single:
+            raise IOError("stale libfastascii.so without single-column support")
+        nf = len(paths)
+        c_paths = (ctypes.c_char_p * nf)(*[p.encode() for p in paths])
+        results = (ctypes.POINTER(ctypes.c_double) * nf)()
+        counts = (ctypes.c_long * nf)()
+        self._lib.msq_read_many_single(c_paths, nf, results, counts, nthreads)
+        out = []
+        for i in range(nf):
+            ptr, n = results[i], counts[i]
+            if not ptr:
+                raise IOError(f"native reader failed on {paths[i]}")
+            try:
+                buf = np.ctypeslib.as_array(ptr, shape=(max(n, 1),))
+                out.append(np.array(buf[:n], dtype=np.float64))
+            finally:
+                self._lib.msq_free(ptr)
+        return out
 
     def read_many(self, paths, lo: float, hi: float, nthreads: int = 0):
         nf = len(paths)

@@ -25,8 +25,28 @@ def gaussian_filter_curve(name, center, width, n=300, span=4.0):
     return FilterCurve(name=name, wl=wl, tr=tr)
 
 
+_SETUP_CACHE = {}
+
+
 def make_setup(nspec=2, rad_prior=False, dist_fit=True, dtype=None, spectrum_weight=1.0):
-    """Small synthetic grid + data + filters; returns (setup dict, PackedTarget)."""
+    """Small synthetic grid + data + filters; returns (setup dict, PackedTarget).
+
+    Memoized per configuration: the synthetic grid + emulator build costs
+    ~5 s and dozens of tests request identical setups (the suite spends
+    minutes rebuilding them on the 1-CPU CI box).  The returned dict is a
+    fresh shallow copy each call; the underlying arrays are shared, so
+    mutate copies (as the existing tests already do via ``.copy()``).
+    """
+    key = (nspec, rad_prior, dist_fit, repr(dtype), spectrum_weight)
+    if key in _SETUP_CACHE:
+        setup, tgt = _SETUP_CACHE[key]
+        return dict(setup), tgt
+    setup, tgt = _make_setup_impl(nspec, rad_prior, dist_fit, dtype, spectrum_weight)
+    _SETUP_CACHE[key] = (setup, tgt)
+    return dict(setup), tgt
+
+
+def _make_setup_impl(nspec, rad_prior, dist_fit, dtype, spectrum_weight):
     import jax.numpy as jnp
 
     specrange = (3000.0, 12000.0)

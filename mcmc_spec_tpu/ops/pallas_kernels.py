@@ -231,11 +231,20 @@ def spectrum_chi2_fleet(
 ):
     """Fleet spectrum chi^2: per-target D/data blocks, per-row median ranks.
 
-    Returns [ntgt, nw].  ``nw`` must be divisible by ``block`` (or small
-    enough to use a single block per target).
+    Returns [ntgt, nw].  The walker axis is padded to a multiple of 8 rows
+    (Mosaic requires row blocks divisible by 8 unless they equal the whole
+    array, and per-target blocks never equal the stacked array); padding
+    rows carry Wcomb=1 so the bit-pattern median search stays on positive
+    values, and their outputs are sliced off.
     """
     ntgt, nw, NO = Wcomb.shape
     nd = D.shape[2]
+    nw_pad = -(-nw // 8) * 8
+    if nw_pad != nw:
+        pad = ((0, 0), (0, nw_pad - nw), (0, 0))
+        Wcomb = jnp.pad(Wcomb, pad, constant_values=1.0)
+        av = jnp.pad(av, pad[:2])
+    nw_true, nw = nw, nw_pad
     if nd > 3000:
         block = min(block, 256)
     if nw % block != 0:
@@ -287,7 +296,7 @@ def spectrum_chi2_fleet(
         Vpinv.astype(f32),  # [ntgt, 3, nd]
         jnp.swapaxes(V.astype(f32), 1, 2),  # [ntgt, 3, nd]
     )
-    return out.reshape(ntgt, nw)
+    return out.reshape(ntgt, nw)[:, :nw_true]
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
@@ -872,6 +881,16 @@ def log_posterior_fleet_fused(params, fleet, block: int = 0,
     ntgt, nw, ndim = params.shape
     nT, nG, nd = fleet.D.shape[1:]
     NO = nT * nG
+    # Mosaic requires per-target row blocks divisible by 8 (they never equal
+    # the stacked array); pad the walker axis and slice the outputs off.
+    # Padding rows replicate row 0, so every in-kernel value stays finite.
+    nw_pad = -(-nw // 8) * 8
+    if nw_pad != nw:
+        params = jnp.concatenate(
+            [params, jnp.broadcast_to(params[:, :1], (ntgt, nw_pad - nw, ndim))],
+            axis=1,
+        )
+    nw_true, nw = nw, nw_pad
     if block == 0:
         block = int(os.environ.get("MCMC_SPEC_EVAL_BLOCK", "256"))
     block = min(block, 512 if nd <= 2048 else (384 if nd <= 3000 else 256))
@@ -969,4 +988,4 @@ def log_posterior_fleet_fused(params, fleet, block: int = 0,
                   axis=1).astype(f32),
         jnp.stack([fleet.prior_mu, fleet.prior_sig], axis=1).astype(f32),
     )
-    return out.reshape(ntgt, nw)
+    return out.reshape(ntgt, nw)[:, :nw_true]

@@ -251,3 +251,47 @@ class TestFusedFlagOnCpu:
         assert np.all(np.isfinite(np.asarray(state.log_prob)))
         state, chain, _ = run_ensemble(state, logp, n_steps=4, thin=4)
         assert np.all(np.isfinite(np.asarray(chain)))
+
+
+class TestFleetWalkerPadding:
+    """nw not a multiple of 8: Mosaic rejects per-target row blocks unless
+    divisible by 8, so the fleet wrappers pad the walker axis (found by the
+    fleet CLI crashing on TPU with nw_half=12)."""
+
+    def test_spectrum_fleet_odd_walkers(self):
+        from tests.test_fleet import _make_target, _walkers
+        from mcmc_spec_tpu.inference.fleet import stack_targets
+        from mcmc_spec_tpu.ops.pallas_kernels import spectrum_chi2_fleet
+
+        singles = [_make_target(300, 2, s, pad_nd=320, pad_nc=2, dtype=jnp.float32)
+                   for s in (31, 32)]
+        fleet = stack_targets(singles)
+        P = jnp.stack([_walkers(12, seed=i) for i in range(2)]).astype(jnp.float32)
+        _, _, _, _, Wcomb = jax.vmap(batched._forward_small)(P, fleet)
+        av = P[..., fleet.nspec]
+        ntgt, nT, nG, nd = fleet.D.shape
+        got = np.asarray(spectrum_chi2_fleet(
+            Wcomb, av, fleet.D.reshape(ntgt, nT * nG, nd), fleet.ext_k_data,
+            fleet.data_flux, fleet.data_err, fleet.V, fleet.Vpinv,
+            fleet.med_data, fleet.n_data_true, interpret=True,
+        ))
+        assert got.shape == (2, 12)
+        ref = np.asarray(jax.vmap(batched._spec_chi2_xla)(Wcomb, av, fleet))
+        np.testing.assert_allclose(got, ref, rtol=5e-5)
+
+    def test_fused_fleet_odd_walkers(self):
+        from tests.test_fleet import _make_target, _walkers
+        from mcmc_spec_tpu.inference.fleet import stack_targets
+        from mcmc_spec_tpu.ops.pallas_kernels import log_posterior_fleet_fused
+
+        singles = [_make_target(300, 2, s, pad_nd=320, pad_nc=2, dtype=jnp.float32)
+                   for s in (33, 34)]
+        fleet = stack_targets(singles)
+        P = jnp.stack([_walkers(12, seed=i) for i in range(2)]).astype(jnp.float32)
+        got = np.asarray(log_posterior_fleet_fused(P, fleet, interpret=True))
+        assert got.shape == (2, 12)
+        ref = np.asarray(jax.vmap(batched.log_posterior_batch)(P, fleet))
+        fin = np.isfinite(ref)
+        np.testing.assert_array_equal(np.isfinite(got), fin)
+        np.testing.assert_allclose(got[fin], ref[fin], rtol=5e-5,
+                                   atol=1e-4 * np.abs(ref[fin]).max())

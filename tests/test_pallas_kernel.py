@@ -122,9 +122,29 @@ class TestFastMedian:
     def test_env_flag(self, monkeypatch):
         from mcmc_spec_tpu.ops.pallas_kernels import _median_iters
 
+        monkeypatch.delenv("MCMC_SPEC_FAST_MEDIAN", raising=False)
         assert _median_iters() == 31
         monkeypatch.setenv("MCMC_SPEC_FAST_MEDIAN", "1")
         assert _median_iters() == 20
+        monkeypatch.setenv("MCMC_SPEC_FAST_MEDIAN", "25")
+        assert _median_iters() == 25
+        monkeypatch.setenv("MCMC_SPEC_FAST_MEDIAN", "5")
+        with pytest.raises(ValueError):
+            _median_iters()
+
+    def test_intermediate_iters_error_bound(self):
+        """iters=k error = rank-search width 2^(8-k) + the middle-gap the
+        skipped even-n averaging would have halved."""
+        from mcmc_spec_tpu.ops.pallas_kernels import _row_median_nonneg
+
+        rng = np.random.RandomState(3)
+        m = jnp.asarray(np.abs(rng.lognormal(0, 2, (64, 512))), jnp.float32)
+        exact = np.asarray(_row_median_nonneg(m, iters=31))[:, 0]
+        m25 = np.asarray(_row_median_nonneg(m, iters=25))[:, 0]
+        srt = np.sort(np.asarray(m), axis=1)
+        gap = np.abs(srt[:, 256] - srt[:, 255])
+        bound = gap + 2.0 ** (8 - 25) * exact + 1e-20
+        assert np.all(np.abs(m25 - exact) <= bound)
 
 
 class TestFusedPosteriorKernel:

@@ -55,7 +55,9 @@ def bimodal_decompose(samples: np.ndarray, nbins: int = 75) -> Tuple[float, floa
             raise ValueError
         return mu, sigma, {"fit": fit, "bins": bins, "count": count,
                            "localmin": localmin, "dominant_fraction": frac}
-    except Exception:
+    except (RuntimeError, ValueError, TypeError):
+        # curve_fit non-convergence / degenerate histogram: fall back to the
+        # plain median like the reference's unfit branches (mft6.py:2029-2194)
         return med, 0.0, {}
 
 

@@ -276,3 +276,96 @@ class TestOrbaxPipelineResume:
                                    mesh="auto")
         np.testing.assert_allclose(s_resumed, s_full, rtol=1e-12)
         assert not os.path.isdir("fito_interrupted/chain_checkpoint.npz.orbax")
+
+
+class TestFleetResume:
+    """VERDICT r2 item 3: the fleet MCMC stage gets the same ChainStore +
+    config-tagged checkpoint treatment as the single-target stage, and warns
+    instead of silently min()-ing mismatched schedules."""
+
+    def test_schedule_mismatch_warning(self, fleet_fixture, capsys):
+        from mcmc_spec_tpu.fleet_pipeline import _warn_fleet_schedule_mismatch
+        from mcmc_spec_tpu.utils.config import FitConfig
+
+        cfg_a = FitConfig.from_file(fleet_fixture["parfiles"][0])
+        cfg_b = FitConfig.from_file(fleet_fixture["parfiles"][1])
+        _warn_fleet_schedule_mismatch([cfg_a, cfg_b])
+        assert "WARNING" not in capsys.readouterr().out  # identical schedules
+
+        cfg_b.nsteps = 15000
+        _warn_fleet_schedule_mismatch([cfg_a, cfg_b])
+        out = capsys.readouterr().out
+        assert "WARNING" in out and "nsteps" in out and "SHORTEST" in out
+
+    def test_fleet_resume_bit_identical(self, fleet_fixture, monkeypatch):
+        """Crash a fleet run mid-chain; the resumed chains are identical."""
+        from mcmc_spec_tpu import fleet_pipeline
+        from mcmc_spec_tpu.fleet_pipeline import run_fleet_mcmc, setup_fleet
+        from mcmc_spec_tpu.utils.config import FitConfig
+
+        p0 = fleet_fixture["p0"][:16]
+        p0s = [p0, p0]
+
+        def make_ctxs(suffix):
+            cfgs = []
+            for i, pf in enumerate(fleet_fixture["parfiles"]):
+                cfg = FitConfig.from_file(pf)
+                cfg.dirname = f"fleet{i}_{suffix}"
+                cfg.nsteps = 200
+                cfgs.append(cfg)
+            return setup_fleet(cfgs, dtype=jnp.float64)
+
+        full = run_fleet_mcmc(make_ctxs("full"), p0s=p0s, nthin=50,
+                              check_convergence=False, mesh=None, resume=False)
+
+        ctxs = make_ctxs("crash")
+        real_dump = fleet_pipeline.results_io.dump_coords
+        calls = {"n": 0}
+
+        def exploding_dump(dirname, fname, step, coords, stage="results"):
+            if stage == "results":
+                calls["n"] += 1
+                if calls["n"] == 5:  # 2 targets/chunk: dies in chunk 3 of 4
+                    raise RuntimeError("simulated crash")
+            return real_dump(dirname, fname, step, coords, stage=stage)
+
+        monkeypatch.setattr(fleet_pipeline.results_io, "dump_coords", exploding_dump)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            run_fleet_mcmc(ctxs, p0s=p0s, nthin=50, check_convergence=False,
+                           mesh=None, resume=False)
+        monkeypatch.setattr(fleet_pipeline.results_io, "dump_coords", real_dump)
+
+        assert os.path.exists("fleet0_crash/fleet_chain_checkpoint.npz")
+        assert os.path.isdir("fleet0_crash/fleet_chain_chunks")
+        resumed = run_fleet_mcmc(make_ctxs("crash"), p0s=p0s, nthin=50,
+                                 check_convergence=False, mesh=None, resume=True)
+        for r, f in zip(resumed, full):
+            np.testing.assert_allclose(r, f, rtol=1e-12)
+        # completed run cleans up its fleet checkpoint + chunk store
+        assert not os.path.exists("fleet0_crash/fleet_chain_checkpoint.npz")
+        assert not os.path.isdir("fleet0_crash/fleet_chain_chunks")
+
+    def test_stale_config_tag_ignored(self, fleet_fixture, monkeypatch):
+        """A checkpoint from a different fleet config must not be resumed."""
+        from mcmc_spec_tpu.fleet_pipeline import run_fleet_mcmc, setup_fleet
+        from mcmc_spec_tpu.io import results as results_io
+        from mcmc_spec_tpu.utils.config import FitConfig
+
+        p0 = fleet_fixture["p0"][:16]
+        cfgs = []
+        for i, pf in enumerate(fleet_fixture["parfiles"]):
+            cfg = FitConfig.from_file(pf)
+            cfg.dirname = f"fleet{i}_stale"
+            cfg.nsteps = 100
+            cfgs.append(cfg)
+        ctxs = setup_fleet(cfgs, dtype=jnp.float64)
+        os.makedirs("fleet0_stale", exist_ok=True)
+        results_io.save_checkpoint(results_io.Checkpoint(
+            coords=np.zeros((2, 16, 6)), log_prob=np.zeros((2, 16)),
+            key=np.asarray(jax.random.PRNGKey(0)), step=50, n_accept=0,
+            config_tag="fleet:other:2x16x6:999:40:0:1.0",
+        ), "fleet0_stale/fleet_chain_checkpoint.npz")
+        out = run_fleet_mcmc(ctxs, p0s=[p0, p0], nthin=50,
+                             check_convergence=False, mesh=None, resume=True)
+        # ran from scratch (2 chunks of 50 x 16 walkers each)
+        assert out[0].shape[0] == 100 * 16

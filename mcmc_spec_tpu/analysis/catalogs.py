@@ -73,17 +73,20 @@ def load_kepler_stellar_params(path) -> pd.DataFrame:
     ``radius``, ``radius_err1``, ``radius_err2``, ``mass``, ``dist``.
     """
     t = _read_table(path)
-    # symmetric error = max(|err1|, |err2|) (ref :105-106)
+    # symmetric error = np.max([err2, err1]) on the SIGNED values
+    # (planet_error_analysis.py:105-106): archive exports carry err2 <= 0,
+    # so this always selects err1 (the upper error) — matched exactly, NOT
+    # max(|err1|, |err2|)
     return pd.DataFrame({
         "kepid": t["kepid"].astype(np.int64),
         "kep_teff": pd.to_numeric(t["teff"], errors="coerce"),
         "kep_teff_err": np.maximum(
-            np.abs(pd.to_numeric(t["teff_err1"], errors="coerce")),
-            np.abs(pd.to_numeric(t["teff_err2"], errors="coerce"))),
+            pd.to_numeric(t["teff_err1"], errors="coerce"),
+            pd.to_numeric(t["teff_err2"], errors="coerce")),
         "kep_rstar": pd.to_numeric(t["radius"], errors="coerce"),
         "kep_rstar_err": np.maximum(
-            np.abs(pd.to_numeric(t["radius_err1"], errors="coerce")),
-            np.abs(pd.to_numeric(t["radius_err2"], errors="coerce"))),
+            pd.to_numeric(t["radius_err1"], errors="coerce"),
+            pd.to_numeric(t["radius_err2"], errors="coerce")),
         "kep_mstar": pd.to_numeric(t["mass"], errors="coerce"),
         "distance": pd.to_numeric(t["dist"], errors="coerce"),
     })
@@ -128,8 +131,12 @@ def load_cks_rgap(path, skip_dtype_rows: int = 3) -> pd.DataFrame:
 
 
 def _short(koi: str) -> str:
-    """'0268' -> '268' (ref :78-84 strips the leading zero for Furlan joins)."""
-    return koi.lstrip("0") or "0"
+    """'0268' -> '268': strip exactly ONE leading zero, as the reference's
+    ``targets_short`` loop does (planet_error_analysis.py:70-74
+    ``t[1:] if t[0] == '0' else t``).  For ids with two or more leading
+    zeros ('0042' -> '042') the reference therefore misses Furlan rows keyed
+    without padding — matched verbatim so joins hit/miss the same rows."""
+    return koi[1:] if koi[:1] == "0" else koi
 
 
 def build_catalogs(targets, all_kois, stellar_params, furlan_prcf=None,

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import re
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -347,7 +348,13 @@ def observation_table(param_files, separations=None, obs_dates=None,
     rows = []
     for p in param_files:
         cfg = FitConfig.from_file(p)
-        target = os.path.basename(p).split("i")[-1].split("_")[0].split(".")[0]
+        # the reference derives this with p.split('i')[1] (ref :806), which
+        # mis-parses any filename with an 'i' before/inside the target id
+        # (e.g. 'intermediate_koi2298.txt' -> 'ntermed...'); anchor on the
+        # 'koi<digits>' token instead, falling back to the stem
+        base = os.path.basename(p)
+        m = re.search(r"koi(\d+(?:\.\d+)?)", base, re.IGNORECASE)
+        target = m.group(1).split(".")[0] if m else base.split("_")[0].split(".")[0]
         fname = cfg.filename if data_dir is None else os.path.join(data_dir, cfg.filename)
         wl, flux, err = np.genfromtxt(fname, unpack=True)
         snr = int(np.median(flux) / np.std(err)) if np.std(err) > 0 else -99

@@ -121,6 +121,10 @@ double* msq_read_single_column(const char* path, long* n_out) {
     const char* p = data;
     const char* end = data + size;
     while (p < end) {
+        if (*p == '#') {  // np.loadtxt semantics: '#' comments out the rest
+            while (p < end && *p != '\n') ++p;  // of the line (headers with
+            continue;                           // digits must not be parsed)
+        }
         char* next = nullptr;
         double a = strtod(p, &next);
         if (next == p) {

@@ -85,16 +85,22 @@ class NativeReader:
         results = (ctypes.POINTER(ctypes.c_double) * nf)()
         counts = (ctypes.c_long * nf)()
         self._lib.msq_read_many_single(c_paths, nf, results, counts, nthreads)
-        out = []
-        for i in range(nf):
-            ptr, n = results[i], counts[i]
-            if not ptr:
-                raise IOError(f"native reader failed on {paths[i]}")
-            try:
+        out, failed = [], None
+        try:
+            for i in range(nf):
+                ptr, n = results[i], counts[i]
+                if not ptr:
+                    failed = paths[i] if failed is None else failed
+                    continue
                 buf = np.ctypeslib.as_array(ptr, shape=(max(n, 1),))
                 out.append(np.array(buf[:n], dtype=np.float64))
-            finally:
-                self._lib.msq_free(ptr)
+        finally:
+            # free EVERY returned buffer, including ones past a failed slot
+            for i in range(nf):
+                if results[i]:
+                    self._lib.msq_free(results[i])
+        if failed is not None:
+            raise IOError(f"native reader failed on {failed}")
         return out
 
     def read_many(self, paths, lo: float, hi: float, nthreads: int = 0):
@@ -103,18 +109,23 @@ class NativeReader:
         results = (ctypes.POINTER(ctypes.c_double) * nf)()
         counts = (ctypes.c_long * nf)()
         self._lib.msq_read_many(c_paths, nf, lo, hi, results, counts, nthreads)
-        out = []
-        for i in range(nf):
-            ptr, n = results[i], counts[i]
-            if not ptr:
-                raise IOError(f"native reader failed on {paths[i]}")
-            try:
+        out, failed = [], None
+        try:
+            for i in range(nf):
+                ptr, n = results[i], counts[i]
+                if not ptr:
+                    failed = paths[i] if failed is None else failed
+                    continue
                 buf = np.ctypeslib.as_array(ptr, shape=(2 * max(n, 1),))
                 out.append(
                     (np.array(buf[:n], dtype=np.float64), np.array(buf[n : 2 * n], dtype=np.float64))
                 )
-            finally:
-                self._lib.msq_free(ptr)
+        finally:
+            for i in range(nf):
+                if results[i]:
+                    self._lib.msq_free(results[i])
+        if failed is not None:
+            raise IOError(f"native reader failed on {failed}")
         return out
 
 

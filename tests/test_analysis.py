@@ -147,10 +147,45 @@ pfilt ['j','h','k']
         df = observation_table([str(pf)], separations={"0042": 0.5},
                                out_dir=str(tmp_path))
         assert len(df) == 1
+        assert df.iloc[0]["KOI"] == "0042"
         assert df.iloc[0]["lp600"] == 2.08
         assert df.iloc[0]["e_kp"] == 0.02
         assert (tmp_path / "obs.txt").exists()
         assert (tmp_path / "obs_noerr.txt").exists()
+
+    def test_adversarial_filenames(self, tmp_path):
+        """KOI-id extraction anchors on the 'koi<digits>' token (VERDICT r2
+        weak #7: the reference's p.split('i')[1] mis-parses any filename
+        with an 'i' elsewhere, planet_error_analysis.py:806)."""
+        from mcmc_spec_tpu.analysis.planets import observation_table
+
+        datafile = tmp_path / "spec.txt"
+        rng = np.random.RandomState(1)
+        np.savetxt(datafile, np.column_stack([
+            np.linspace(0.65, 0.84, 50), 1 + 0.01 * rng.randn(50),
+            0.01 * np.abs(rng.randn(50)) + 0.005,
+        ]))
+        body = f"""models synthetic
+dirname out
+fname t
+filename {datafile}
+cmag [1.0]
+cerr [0.1]
+cfilt ['lp600']
+pmag [13.0]
+perr [0.1]
+pfilt ['j']
+"""
+        cases = {
+            "initial_param_koi2298.txt": "2298",  # 'i's before the koi token
+            "param_KOI227_final_v2.txt": "227",   # case + trailing junk
+            "param_koi1422.revised.txt": "1422",  # extra dots
+        }
+        for name, want in cases.items():
+            pf = tmp_path / name
+            pf.write_text(body)
+            df = observation_table([str(pf)], out_dir=str(tmp_path))
+            assert df.iloc[0]["KOI"] == want, (name, df.iloc[0]["KOI"])
 
 
 class TestHetObsDates:
@@ -282,14 +317,27 @@ class TestReferenceCatalogLoaders:
         assert sorted(planet["pname"]) == ["2298.01", "2298.02", "268.01"]
         row = planet[planet["pname"] == "2298.02"].iloc[0]
         assert abs(row["period"] - 0.1) < 1e-9  # 36.525 d / 365.25
-        # star joins through KIC; symmetric err = max(|err1|,|err2|)
+        # star joins through KIC; symmetric err = np.max([err2, err1]) on the
+        # SIGNED values, which with err2 <= 0 always picks err1 (the UPPER
+        # error) — matched to planet_error_analysis.py:105-106 exactly
+        # (advisor r2: previously max(|err1|,|err2|) picked 120 here)
         s = star[star["system"] == "2298"].iloc[0]
-        assert s["kep_teff"] == 5100 and abs(s["kep_teff_err"] - 120) < 1e-9
+        assert s["kep_teff"] == 5100 and abs(s["kep_teff_err"] - 80) < 1e-9
+        assert abs(s["kep_rstar_err"] - 0.05) < 1e-9
         assert abs(s["kep_pri_prcf"] - 1.12) < 1e-9
         assert abs(s["kep_sec_prcf"] - 2.30) < 1e-9
         assert abs(s["separation"] - 0.53) < 1e-9
         s2 = star[star["system"] == "0268"].iloc[0]
         assert abs(s2["kep_sec_prcf"] - 1.80) < 1e-9
+
+    def test_short_strips_exactly_one_zero(self):
+        """planet_error_analysis.py:70-74: t[1:] if t[0]=='0' — ONE zero
+        only ('0042' -> '042'), matched verbatim (advisor r2)."""
+        from mcmc_spec_tpu.analysis.catalogs import _short
+
+        assert _short("0268") == "268"
+        assert _short("0042") == "042"
+        assert _short("2298") == "2298"
 
     def test_cks_rgap_filter(self, tmp_path):
         from mcmc_spec_tpu.analysis import catalogs as cat

@@ -56,16 +56,10 @@ def log_posterior_fleet(params, fleet: PackedTarget):
     XLA's big [ntgt*nw, .] batched matmuls beat in-kernel serialization of
     the small ops), so it is opt-in via ``MCMC_SPEC_FUSED_EVAL=1``.
     """
-    import os
-
     from mcmc_spec_tpu.inference import batched
-    from mcmc_spec_tpu.utils.flags import use_pallas_spectrum
+    from mcmc_spec_tpu.utils.flags import fused_eval_forced, use_pallas_spectrum
 
-    if (
-        os.environ.get("MCMC_SPEC_FUSED_EVAL", "auto").lower() in ("1", "force")
-        and fleet.n_contrast > 0
-        and fleet.n_phot > 0
-    ):
+    if fused_eval_forced() and fleet.n_contrast > 0 and fleet.n_phot > 0:
         from mcmc_spec_tpu.ops.pallas_kernels import log_posterior_fleet_fused
 
         return log_posterior_fleet_fused(
@@ -82,6 +76,7 @@ def log_posterior_fleet(params, fleet: PackedTarget):
             Wcomb, av, fleet.D.reshape(ntgt, nT * nG, nd), fleet.ext_k_data,
             fleet.data_flux, fleet.data_err, fleet.V, fleet.Vpinv,
             fleet.med_data, fleet.n_data_true,
+            iters=fleet.median_iters or None,  # pack-time dial; 0 = env fallback
         )
         return jax.vmap(
             lambda p, t, cs: log_posterior_batch(p, t, chi_spec=cs)

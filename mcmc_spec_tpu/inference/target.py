@@ -109,6 +109,19 @@ class PackedTarget:
     n_contrast_true: Any  # scalar int
     n_phot_true: Any  # scalar int
 
+    # --- kernel tuning, resolved ONCE at pack time from the env dials
+    # (``MCMC_SPEC_FAST_MEDIAN`` / ``MCMC_SPEC_EVAL_BLOCK``) and threaded to
+    # the Pallas kernels as static arguments.  0 = unset: the kernels fall
+    # back to trace-time env resolution, which is silently stale once the
+    # jit cache holds an entry for the shapes (the round-2 footgun).
+    median_iters: int = 0
+    eval_block: int = 0
+
+    # fractional sigma of the MIST radius prior (mft6.py:1268 uses 0.02
+    # against the genuine isochrone; the builtin substitute table widens it —
+    # see MistTable.rad_prior_sigma_frac)
+    rad_sigma_frac: float = 0.02
+
     @property
     def ndim(self) -> int:
         # fit_plx: [T_1..n, Av, R1, ratios(n-1), plx]; else [T_1..n, Av, ratios(n-1)]
@@ -138,7 +151,8 @@ jax.tree_util.register_dataclass(
         "med_data", "n_data_true", "n_contrast_true", "n_phot_true",
     ],
     meta_fields=["nspec", "dist_fit", "rad_prior", "fit_plx", "spectrum_weight",
-                 "spectrum_backend"],
+                 "spectrum_backend", "median_iters", "eval_block",
+                 "rad_sigma_frac"],
 )
 
 
@@ -166,6 +180,7 @@ def pack_target(
     dtype=jnp.float32,
     pad_nd: Optional[int] = None,
     pad_nc: Optional[int] = None,
+    rad_sigma_frac: Optional[float] = None,
 ) -> PackedTarget:
     """Precompute every linear projection and lookup table for one target.
 
@@ -242,6 +257,8 @@ def pack_target(
         cmag = np.concatenate([cmag, np.zeros(extra)])
         cerr = np.concatenate([cerr, np.full(extra, np.inf)])
 
+    from mcmc_spec_tpu.utils import flags
+
     as_dev = lambda x: jnp.asarray(np.asarray(x), dtype=dtype)
     return PackedTarget(
         nspec=int(nspec),
@@ -250,6 +267,12 @@ def pack_target(
         fit_plx=bool(fit_plx),
         spectrum_weight=float(spectrum_weight),
         spectrum_backend=backend,
+        median_iters=flags.median_iters(),
+        eval_block=flags.eval_block(),
+        # default 0.02 = the reference's exact width (tests/parity); the
+        # production pipeline passes MistTable.rad_prior_sigma_frac, which
+        # widens it when only the builtin substitute table is available
+        rad_sigma_frac=float(rad_sigma_frac) if rad_sigma_frac is not None else 0.02,
         temps=as_dev(grid.temps),
         loggs=as_dev(grid.loggs),
         D=as_dev(D),

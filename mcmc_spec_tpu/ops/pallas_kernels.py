@@ -35,27 +35,13 @@ _F32_INF_BITS = 0x7F800000
 
 
 def _median_iters() -> int:
-    """Radix-median pass count: 31 = exact (default).
+    """Trace-time fallback for callers that don't thread an explicit pass
+    count; production paths thread ``PackedTarget.median_iters`` (resolved at
+    pack time) instead.  See :func:`mcmc_spec_tpu.utils.flags.median_iters`
+    for the accuracy-dial semantics."""
+    from mcmc_spec_tpu.utils.flags import median_iters
 
-    ``MCMC_SPEC_FAST_MEDIAN`` is an accuracy dial: ``1`` selects the
-    measured sweet spot of 20 passes (relative spectrum-scale error
-    < 2.5e-4 on real spectra, ~+22% sampler throughput); any integer in
-    [8, 31] selects that pass count directly.  Error = the rank-search
-    width ``2^(8 - passes)`` relative, PLUS half the gap between the two
-    middle order statistics (fast mode skips the even-n averaging) —
-    negligible for ~2k-point spectra, data-dependent for tiny or
-    heavy-tailed rows (tests/test_pallas_kernel.py pins both terms)."""
-    import os
-
-    raw = os.environ.get("MCMC_SPEC_FAST_MEDIAN", "")
-    if not raw:
-        return 31
-    n = int(raw)
-    if n == 1:
-        return 20
-    if not 8 <= n <= 31:
-        raise ValueError(f"MCMC_SPEC_FAST_MEDIAN={raw!r}: use 1 or 8..31")
-    return n
+    return median_iters()
 
 
 def _row_order_stat_bits(mi, rank, iters: int = 31):
@@ -173,13 +159,15 @@ def _spectrum_chi2_kernel(
     VpinvT_ref,  # [3, nd]
     VT_ref,  # [3, nd]
     out_ref,  # [B, 1]
+    *,
+    iters,
 ):
     # continuum renorm runs on the VPU in exact f32 (the K=3 / N=3
     # contractions would round through bf16 on the MXU); V matrices arrive
     # pre-transposed as [3, nd]
     out_ref[:] = _spectrum_block(
         Wc_ref[:], av_ref[:], D_ref[:], kd_ref[:], data_ref[:], inv_err_ref[:],
-        VpinvT_ref[:], VT_ref[:], medd_ref[0, 0], _median_iters(),
+        VpinvT_ref[:], VT_ref[:], medd_ref[0, 0], iters,
     )
 
 
@@ -195,6 +183,8 @@ def _spectrum_chi2_fleet_kernel(
     VpinvT_ref,  # [1, 3, nd]
     VT_ref,  # [1, 3, nd]
     out_ref,  # [B, 1]
+    *,
+    iters,
 ):
     """Fleet variant: per-row median ranks / counts (targets are padded)."""
     model = _dot_f32(Wc_ref[:], D_ref[0])
@@ -205,7 +195,7 @@ def _spectrum_chi2_fleet_kernel(
     mi = jax.lax.bitcast_convert_type(model, jnp.int32)
     r1 = rank_ref[:, 0][:, None]
     r2 = rank_ref[:, 1][:, None]
-    it = _median_iters()
+    it = iters
     v1 = _row_order_stat_bits(mi, r1, it)
     x1 = jax.lax.bitcast_convert_type(v1, jnp.float32)
     if it < 31:
@@ -232,7 +222,7 @@ def _spectrum_chi2_fleet_kernel(
     out_ref[:] = jnp.sum(resid * resid, axis=1, keepdims=True) * inv_n
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block", "interpret", "iters"))
 def spectrum_chi2_fleet(
     Wcomb,  # [ntgt, nw, NO]
     av,  # [ntgt, nw]
@@ -246,27 +236,38 @@ def spectrum_chi2_fleet(
     n_data_true,  # [ntgt] int
     block: int = 512,
     interpret: bool = False,
+    iters: int | None = None,
 ):
     """Fleet spectrum chi^2: per-target D/data blocks, per-row median ranks.
 
-    Returns [ntgt, nw].  The walker axis is padded to a multiple of 8 rows
+    Returns [ntgt, nw].  The walker axis is padded up to a block multiple
     (Mosaic requires row blocks divisible by 8 unless they equal the whole
-    array, and per-target blocks never equal the stacked array); padding
-    rows carry Wcomb=1 so the bit-pattern median search stays on positive
-    values, and their outputs are sliced off.
+    array, and per-target blocks never equal the stacked array; a walker
+    count above the VMEM cap that isn't a block multiple must NOT fall back
+    to one giant block — ~4 [nw, nd] f32 temporaries overflow the ~16 MB
+    scoped VMEM); padding rows carry Wcomb=1 so the bit-pattern median
+    search stays on positive values, and their outputs are sliced off.
+
+    ``iters``: radix-median pass count (static; ``None`` resolves the env
+    dial at trace time — production callers thread the pack-time value).
     """
+    if iters is None:
+        iters = _median_iters()
     ntgt, nw, NO = Wcomb.shape
     nd = D.shape[2]
+    cap = 256 if nd > 3000 else 512
+    block = min(block, cap)
     nw_pad = -(-nw // 8) * 8
+    if nw_pad % block != 0:
+        if nw_pad <= cap:
+            block = nw_pad  # small batch: one (8-multiple) block per target
+        else:
+            nw_pad = -(-nw_pad // block) * block  # pad up to a block multiple
     if nw_pad != nw:
         pad = ((0, 0), (0, nw_pad - nw), (0, 0))
         Wcomb = jnp.pad(Wcomb, pad, constant_values=1.0)
         av = jnp.pad(av, pad[:2])
     nw_true, nw = nw, nw_pad
-    if nd > 3000:
-        block = min(block, 256)
-    if nw % block != 0:
-        block = nw
     bpt = nw // block  # blocks per target
     f32 = jnp.float32
 
@@ -282,7 +283,7 @@ def spectrum_chi2_fleet(
     ).reshape(ntgt * nw, 2)
 
     out = pl.pallas_call(
-        _spectrum_chi2_fleet_kernel,
+        functools.partial(_spectrum_chi2_fleet_kernel, iters=iters),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=(ntgt * bpt,),
@@ -317,10 +318,10 @@ def spectrum_chi2_fleet(
     return out.reshape(ntgt, nw)[:, :nw_true]
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block", "interpret", "iters"))
 def spectrum_chi2(
     Wcomb, av, D_flat, ext_k_data, data_flux, data_err, V, Vpinv, med_data,
-    block: int = 512, interpret: bool = False,
+    block: int = 512, interpret: bool = False, iters: int | None = None,
 ):
     """Fused per-walker spectrum chi^2 (mean over data points).
 
@@ -333,19 +334,37 @@ def spectrum_chi2(
         V: [nd, 3] scaled-domain Vandermonde; Vpinv: [3, nd].
         med_data: scalar median of data_flux.
         block: walkers per grid step (VMEM-resident block).
+        iters: radix-median pass count (static; ``None`` = env dial at trace
+            time; production callers thread ``PackedTarget.median_iters``).
     Returns: [NW] mean spectrum chi^2 (unweighted).
+
+    Walker batches that aren't a block multiple are padded up to one
+    (padding rows carry Wcomb=1: positive model flux keeps the bit-pattern
+    median search valid) rather than run as one giant block — ~4 [NW, nd]
+    f32 temporaries would overflow the ~16 MB scoped VMEM for large NW.
+    Batches at or below the VMEM cap run as a single whole-array block.
     """
+    if iters is None:
+        iters = _median_iters()
     NW, NO = Wcomb.shape
     nd = D_flat.shape[1]
-    if nd > 3000:
-        block = min(block, 256)  # keep ~4 block-sized temporaries in VMEM
+    cap = 256 if nd > 3000 else 512  # keep ~4 block-sized temporaries in VMEM
+    block = min(block, cap)
+    NW_true = NW
     if NW % block != 0:
-        block = NW  # degenerate small batches: single block
+        if NW <= cap:
+            block = NW  # single whole-array block (no div-8 rule applies)
+        else:
+            pad = -(-NW // block) * block - NW
+            Wcomb = jnp.concatenate(
+                [Wcomb, jnp.ones((pad, NO), Wcomb.dtype)], axis=0)
+            av = jnp.concatenate([av, jnp.zeros((pad,), av.dtype)])
+            NW += pad
     f32 = jnp.float32
     grid = (NW // block,)
 
     out = pl.pallas_call(
-        _spectrum_chi2_kernel,
+        functools.partial(_spectrum_chi2_kernel, iters=iters),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
@@ -375,7 +394,7 @@ def spectrum_chi2(
         Vpinv.astype(f32),
         V.T.astype(f32),
     )
-    return out[:, 0]
+    return out[:NW_true, 0]
 
 
 # ---------------------------------------------------------------------------
@@ -446,6 +465,8 @@ def _posterior_kernel(
     dist_fit,
     rad_prior,
     spectrum_weight,
+    median_iters,
+    rad_sigma,
 ):
     p = p_ref[:]
     n = nspec
@@ -526,7 +547,7 @@ def _posterior_kernel(
     if spectrum_weight != 0.0:
         chi_spec = _spectrum_block(
             Wcomb, av, D_ref[:], kd_ref[:], data_ref[:], inv_err_ref[:],
-            VpinvT_ref[:], VT_ref[:], med_data, _median_iters(),
+            VpinvT_ref[:], VT_ref[:], med_data, median_iters,
         )
     else:
         chi_spec = jnp.zeros_like(chi_c)
@@ -564,7 +585,7 @@ def _posterior_kernel(
         if not fit_plx:
             model_vals = model_vals[1:]
         for rv, mv in zip(rvals, model_vals):
-            lp += -0.5 * ((rv - mv) / (0.02 * mv)) ** 2
+            lp += -0.5 * ((rv - mv) / (rad_sigma * mv)) ** 2
 
     # --- bounds (batched._bounds_ok_batch)
     ok = (av >= 0)
@@ -600,27 +621,42 @@ def log_posterior_fused(p, tgt, block: int = 0, interpret: bool = False):
     ``tgt.n_contrast > 0`` and ``tgt.n_phot > 0`` (callers fall back to the
     XLA composition otherwise).
     """
-    import os
-
     NW = p.shape[0]
     ndim = tgt.ndim
     nT, nG, nd = tgt.D.shape
     NO = nT * nG
-    if block == 0:  # default; MCMC_SPEC_EVAL_BLOCK overrides for tuning
-        # 256 measured faster than 512 for the fused kernel (more grid steps
-        # to pipeline, lower VMEM residency); the spectrum-only kernel keeps
-        # its measured-best 512
-        block = int(os.environ.get("MCMC_SPEC_EVAL_BLOCK", "256"))
+    if block == 0:
+        # pack-time value (PackedTarget.eval_block); 0 = unset -> env dial
+        # at trace time.  256 measured faster than 512 for the fused kernel
+        # (more grid steps to pipeline, lower VMEM residency); the
+        # spectrum-only kernel keeps its measured-best 512
+        block = getattr(tgt, "eval_block", 0)
+    if block == 0:
+        from mcmc_spec_tpu.utils.flags import eval_block
+
+        block = eval_block()
     # v5e scoped VMEM is ~16 MB; the kernel holds ~4 [block, nd] f32
     # temporaries (block=1024 at nd=1792 was measured to OOM at 26.2 MB)
-    block = min(block, 512 if nd <= 2048 else (384 if nd <= 3000 else 256))
+    cap = 512 if nd <= 2048 else (384 if nd <= 3000 else 256)
+    block = min(block, cap)
+    NW_true = NW
     if NW % block != 0:
-        block = NW
+        if NW <= cap:
+            block = NW  # single whole-array block: fits VMEM
+        else:
+            # pad the walker axis up to a block multiple (replicating row 0
+            # keeps every in-kernel value finite) instead of running one
+            # giant VMEM-overflowing block; outputs are sliced off
+            pad = -(-NW // block) * block - NW
+            p = jnp.concatenate(
+                [p, jnp.broadcast_to(p[:1], (pad, p.shape[1]))], axis=0)
+            NW += pad
     f32 = jnp.float32
 
     tT = jnp.repeat(_tent_consts(tgt.temps), nG, axis=1)  # [4, NO], o = t*nG+g
     tG = jnp.tile(_tent_consts(tgt.loggs), (1, nT))
 
+    med_iters = getattr(tgt, "median_iters", 0) or _median_iters()
     kern = functools.partial(
         _posterior_kernel,
         nspec=tgt.nspec,
@@ -628,6 +664,8 @@ def log_posterior_fused(p, tgt, block: int = 0, interpret: bool = False):
         dist_fit=tgt.dist_fit,
         rad_prior=tgt.rad_prior,
         spectrum_weight=tgt.spectrum_weight,
+        median_iters=med_iters,
+        rad_sigma=getattr(tgt, "rad_sigma_frac", 0.02),
     )
     nc, npf = tgt.cmag.shape[0], tgt.pmag.shape[0]
     nm = tgt.mist_teff_nodes.shape[0]
@@ -685,7 +723,7 @@ def log_posterior_fused(p, tgt, block: int = 0, interpret: bool = False):
         jnp.stack([tgt.pmag, tgt.perr, tgt.phot_zp, tgt.ext_k_cwl]).astype(f32),
         jnp.stack([tgt.prior_mu, tgt.prior_sig]).astype(f32),
     )
-    return out[:, 0]
+    return out[:NW_true, 0]
 
 
 # ---------------------------------------------------------------------------
@@ -726,6 +764,8 @@ def _fleet_posterior_kernel(
     dist_fit,
     rad_prior,
     spectrum_weight,
+    median_iters,
+    rad_sigma,
 ):
     p = p_ref[:]
     n = nspec
@@ -805,7 +845,7 @@ def _fleet_posterior_kernel(
         trans = jnp.where(av > 0, jnp.exp(LN10_04 * av * kd_ref[0]), 1.0)
         model = model * trans
         mi = jax.lax.bitcast_convert_type(model, jnp.int32)
-        it = _median_iters()
+        it = median_iters
         r1b = ranks_ref[:, 0][:, None]
         r2b = ranks_ref[:, 1][:, None]
         v1 = _row_order_stat_bits(mi, r1b, it)
@@ -862,7 +902,7 @@ def _fleet_posterior_kernel(
         if not fit_plx:
             model_vals = model_vals[1:]
         for rv, mv in zip(rvals, model_vals):
-            lp += -0.5 * ((rv - mv) / (0.02 * mv)) ** 2
+            lp += -0.5 * ((rv - mv) / (rad_sigma * mv)) ** 2
 
     ok = (av >= 0)
     for t in teffs:
@@ -894,26 +934,34 @@ def log_posterior_fleet_fused(params, fleet, block: int = 0,
     ``inference.fleet``): per-row median ranks, sum*1/n_true spectrum chi^2,
     dynamic (n_contrast_true + n_phot_true) weights.
     """
-    import os
-
     ntgt, nw, ndim = params.shape
     nT, nG, nd = fleet.D.shape[1:]
     NO = nT * nG
+    if block == 0:
+        block = getattr(fleet, "eval_block", 0)
+    if block == 0:
+        from mcmc_spec_tpu.utils.flags import eval_block
+
+        block = eval_block()
+    cap = 512 if nd <= 2048 else (384 if nd <= 3000 else 256)
+    block = min(block, cap)
     # Mosaic requires per-target row blocks divisible by 8 (they never equal
     # the stacked array); pad the walker axis and slice the outputs off.
+    # Walker counts above the VMEM cap pad further up to a block multiple —
+    # a single giant per-target block would overflow the ~16 MB scoped VMEM.
     # Padding rows replicate row 0, so every in-kernel value stays finite.
     nw_pad = -(-nw // 8) * 8
+    if nw_pad % block != 0:
+        if nw_pad <= cap:
+            block = nw_pad  # small batch: one (8-multiple) block per target
+        else:
+            nw_pad = -(-nw_pad // block) * block
     if nw_pad != nw:
         params = jnp.concatenate(
             [params, jnp.broadcast_to(params[:, :1], (ntgt, nw_pad - nw, ndim))],
             axis=1,
         )
     nw_true, nw = nw, nw_pad
-    if block == 0:
-        block = int(os.environ.get("MCMC_SPEC_EVAL_BLOCK", "256"))
-    block = min(block, 512 if nd <= 2048 else (384 if nd <= 3000 else 256))
-    if nw % block != 0:
-        block = nw
     bpt = nw // block
     f32 = jnp.float32
 
@@ -944,6 +992,8 @@ def log_posterior_fleet_fused(params, fleet, block: int = 0,
         dist_fit=fleet.dist_fit,
         rad_prior=fleet.rad_prior,
         spectrum_weight=fleet.spectrum_weight,
+        median_iters=getattr(fleet, "median_iters", 0) or _median_iters(),
+        rad_sigma=getattr(fleet, "rad_sigma_frac", 0.02),
     )
     nc, npf = fleet.cmag.shape[1], fleet.pmag.shape[1]
     nm = fleet.mist_teff_nodes.shape[1]

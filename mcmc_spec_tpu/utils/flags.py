@@ -27,17 +27,69 @@ def use_pallas_spectrum(dtype) -> bool:
     return jax.default_backend() == "tpu" and jnp.dtype(dtype) == jnp.float32
 
 
+def _fused_eval_mode() -> str:
+    """Parse ``MCMC_SPEC_FUSED_EVAL`` once, for BOTH the single-target and
+    fleet gates (the round-2 fleet gate accepted a narrower value set, so
+    ``pallas`` silently enabled fusion only for single-target evals)."""
+    mode = os.environ.get("MCMC_SPEC_FUSED_EVAL", "auto").lower()
+    if mode in ("1", "force", "pallas"):
+        return "force"
+    if mode in ("0", "off", "xla"):
+        return "off"
+    if mode != "auto":
+        raise ValueError(f"bad MCMC_SPEC_FUSED_EVAL={mode!r}")
+    return "auto"
+
+
 def use_fused_eval(dtype) -> bool:
     """Whole-posterior fused Pallas kernel (``ops.pallas_kernels.log_posterior_fused``).
 
     ``MCMC_SPEC_FUSED_EVAL``: ``auto`` (on when the Pallas spectrum kernel
-    would be used), ``1``/``force`` (always), ``0``/``off`` (never).
+    would be used), ``1``/``force``/``pallas`` (always), ``0``/``off``/``xla``
+    (never).
     """
-    mode = os.environ.get("MCMC_SPEC_FUSED_EVAL", "auto").lower()
-    if mode in ("1", "force", "pallas"):
+    mode = _fused_eval_mode()
+    if mode == "force":
         return True
-    if mode in ("0", "off", "xla"):
+    if mode == "off":
         return False
-    if mode != "auto":
-        raise ValueError(f"bad MCMC_SPEC_FUSED_EVAL={mode!r}")
     return spectrum_kernel_mode() != "xla" and use_pallas_spectrum(dtype)
+
+
+def fused_eval_forced() -> bool:
+    """True when the fused kernel is explicitly forced on (the fleet path is
+    opt-in: fusion there measured ~8% slower than the composition)."""
+    return _fused_eval_mode() == "force"
+
+
+def median_iters() -> int:
+    """Radix-median pass count: 31 = exact (default).
+
+    ``MCMC_SPEC_FAST_MEDIAN`` is an accuracy dial: ``1`` selects the measured
+    sweet spot of 20 passes (relative spectrum-scale error < 2.5e-4 on real
+    spectra, ~+22% sampler throughput); any integer in [8, 31] selects that
+    pass count directly.  Resolved ONCE at target-pack time
+    (``pack_target`` -> ``PackedTarget.median_iters``) and threaded into the
+    kernels as a static argument, so flipping the env var mid-process takes
+    effect on the next pack, not silently never (the round-2 footgun: the
+    kernels read the env at trace time and the jit cache is keyed only on
+    shapes).
+    """
+    raw = os.environ.get("MCMC_SPEC_FAST_MEDIAN", "")
+    if not raw:
+        return 31
+    n = int(raw)
+    if n == 1:
+        return 20
+    if not 8 <= n <= 31:
+        raise ValueError(f"MCMC_SPEC_FAST_MEDIAN={raw!r}: use 1 or 8..31")
+    return n
+
+
+def eval_block() -> int:
+    """Fused-kernel walker block size (``MCMC_SPEC_EVAL_BLOCK``, default 256).
+
+    Resolved at target-pack time like :func:`median_iters` (same footgun).
+    The kernels still clamp to the measured VMEM caps per data width.
+    """
+    return int(os.environ.get("MCMC_SPEC_EVAL_BLOCK", "256"))

@@ -28,10 +28,12 @@ def main(argv=None):
     argv = sys.argv if argv is None else argv
     opts, _ = getopt.getopt(
         argv[1:], "f:o:e:",
-        ["file=", "optimize=", "emcee=", "nospec", "noplots", "dtype=", "mesh="],
+        ["file=", "optimize=", "emcee=", "nospec", "noplots", "dtype=", "mesh=",
+         "data-dir=", "grid-dir=", "bps-dir="],
     )
     parfiles, do_opt, do_emcee = [], "False", "False"
     nospec, noplots, dtype, mesh = False, False, jnp.float32, "auto"
+    overrides = {}
     for key, val in opts:
         if key in ("-f", "--file"):
             parfiles.append(val)
@@ -43,6 +45,12 @@ def main(argv=None):
             nospec = True
         elif key == "--noplots":
             noplots = True
+        elif key == "--data-dir":
+            overrides["data_dir"] = val  # base dir for relative data paths
+        elif key == "--grid-dir":
+            overrides["grid_dir"] = val  # BT-Settl / PHOENIX model directory
+        elif key == "--bps-dir":
+            overrides["bps_dir"] = val  # filter transmission curves
         elif key == "--dtype":
             dtype = {"float32": jnp.float32, "float64": jnp.float64}[val]
         elif key == "--mesh":
@@ -60,6 +68,9 @@ def main(argv=None):
     if nospec:
         for cfg in cfgs:
             cfg.spectrum_weight = 0.0
+    for attr, val in overrides.items():
+        for cfg in cfgs:
+            setattr(cfg, attr, val)
 
     if len(cfgs) > 1:
         from mcmc_spec_tpu.fleet_pipeline import run_fleet

@@ -139,7 +139,34 @@ def _spec_chi2_xla(Wcomb, av, tgt: PackedTarget):
     return jnp.sum(resid2, axis=1) / tgt.n_data_true.astype(model.dtype)
 
 
-def _chi2_terms_batch(p, tgt: PackedTarget, spec_mult, chi_spec=None):
+def _spec_chi2_xla_median_only(Wcomb, av, tgt: PackedTarget):
+    """ANNEALER spectrum chi^2: median match, NO continuum renorm.
+
+    ``fit_spec`` scores the median-matched model against the RAW data
+    (mft6.py:1007-1014); the deg-2 renorm of the data is an emcee-stage
+    refinement (mft6.py:1172-1174) the reference's stage 1 never applies.
+    """
+    nT, nG, nd = tgt.D.shape
+    model_raw = jnp.matmul(Wcomb, tgt.D.reshape(nT * nG, nd), precision=_HI)
+    apply_ext = (av > 0)[:, None]
+    trans = jnp.where(
+        apply_ext,
+        jnp.exp((-0.4 * jnp.log(10.0)) * av[:, None] * tgt.ext_k_data[None, :]),
+        1.0,
+    )
+    model = model_raw * trans
+    srt = jnp.sort(model, axis=1)
+    i0 = (tgt.n_data_true - 1) // 2
+    i1 = tgt.n_data_true // 2
+    med = 0.5 * (jnp.take(srt, i0, axis=1) + jnp.take(srt, i1, axis=1))
+    model = model * (tgt.med_data / med)[:, None]
+    resid2 = ((model - tgt.data_flux[None, :]) / tgt.data_err) ** 2
+    resid2 = jnp.where(jnp.isfinite(resid2), resid2, 0.0)  # padded: err=inf
+    return jnp.sum(resid2, axis=1) / tgt.n_data_true.astype(model.dtype)
+
+
+def _chi2_terms_batch(p, tgt: PackedTarget, spec_mult, chi_spec=None,
+                      renorm=True):
     n = tgt.nspec
     av = p[:, n]
     contrasts, phot_raw, _, _, Wcomb = _forward_small(p, tgt)
@@ -151,6 +178,9 @@ def _chi2_terms_batch(p, tgt: PackedTarget, spec_mult, chi_spec=None):
     elif tgt.spectrum_weight == 0.0:
         # nospec mode: the spectrum term is dropped entirely (mft6_nospec.py)
         chi_spec = jnp.zeros(p.shape[0], dtype=p.dtype)
+    elif not renorm:
+        # annealer scoring: not the hot path, always plain XLA
+        chi_spec = _spec_chi2_xla_median_only(Wcomb, av, tgt)
     elif tgt.spectrum_backend != "xla" and use_pallas_spectrum(p.dtype):
         from mcmc_spec_tpu.ops.pallas_kernels import spectrum_chi2
 
@@ -158,6 +188,7 @@ def _chi2_terms_batch(p, tgt: PackedTarget, spec_mult, chi_spec=None):
         chi_spec = spectrum_chi2(
             Wcomb, av, tgt.D.reshape(nT * nG, nd), tgt.ext_k_data,
             tgt.data_flux, tgt.data_err, tgt.V, tgt.Vpinv, tgt.med_data,
+            iters=tgt.median_iters or None,  # pack-time dial; 0 = env fallback
         )
     else:
         chi_spec = _spec_chi2_xla(Wcomb, av, tgt)
@@ -177,8 +208,10 @@ def _chi2_terms_batch(p, tgt: PackedTarget, spec_mult, chi_spec=None):
     return tgt.spectrum_weight * weight * chi_spec, chi_c, chi_p
 
 
-def chi2_total_batch(p, tgt: PackedTarget, spec_mult=1.0, chi_spec=None):
-    a, b, c = _chi2_terms_batch(p, tgt, spec_mult, chi_spec=chi_spec)
+def chi2_total_batch(p, tgt: PackedTarget, spec_mult=1.0, chi_spec=None,
+                     renorm=True):
+    a, b, c = _chi2_terms_batch(p, tgt, spec_mult, chi_spec=chi_spec,
+                                renorm=renorm)
     return a + b + c
 
 
@@ -233,7 +266,7 @@ def log_prior_batch(p, tgt: PackedTarget):
         else:
             rvals = ratios
             model_vals = model_vals[:, 1:]
-        lp += jnp.sum(-0.5 * ((rvals - model_vals) / (0.02 * model_vals)) ** 2, axis=1)
+        lp += jnp.sum(-0.5 * ((rvals - model_vals) / (tgt.rad_sigma_frac * model_vals)) ** 2, axis=1)
 
     ok = _bounds_ok_batch(p, tgt)
     return jnp.where(ok, lp, -jnp.inf)
@@ -287,7 +320,9 @@ def optimizer_chi2_batch(p, tgt: PackedTarget, rad_sigma=None):
     """
     n = tgt.nspec
     teffs, av, r1, ratios, plx = _unpack_batch(p, tgt)
-    cs = chi2_total_batch(p, tgt, spec_mult=3.0)
+    # fit_spec scores the median-matched model vs RAW data (no continuum
+    # renorm, mft6.py:1007-1014) with the x3 spectrum weight
+    cs = chi2_total_batch(p, tgt, spec_mult=3.0, renorm=False)
 
     if tgt.fit_plx:
         dist_pc = 1.0 / jnp.maximum(plx, 1e-12)

@@ -140,7 +140,7 @@ def forward(p, tgt: PackedTarget) -> ForwardOut:
     return ForwardOut(model_data, contrasts, phot_mags, scales, loggs)
 
 
-def _chi2_terms(p, tgt: PackedTarget, spec_mult):
+def _chi2_terms(p, tgt: PackedTarget, spec_mult, renorm=True):
     """(weighted spectrum chi2, contrast chi2, photometry chi2).
 
     Follows ``loglikelihood`` (mft6.py:1139-1205): extinction applied to the
@@ -150,6 +150,11 @@ def _chi2_terms(p, tgt: PackedTarget, spec_mult):
     fit of data/model; spectrum chi2 reduced to its mean then weighted by
     ``spec_mult * (n_contrast + n_phot)`` (or ``* n_contrast`` without
     photometry).
+
+    ``renorm=False`` reproduces the ANNEALER's scoring (``fit_spec``,
+    mft6.py:1007-1014): median match only, chi2 against the RAW data — the
+    deg-2 continuum renorm is an emcee-stage refinement the reference's
+    stage 1 does not perform.
     """
     out = forward(p, tgt)
     n = tgt.nspec
@@ -167,7 +172,10 @@ def _chi2_terms(p, tgt: PackedTarget, spec_mult):
     i1 = tgt.n_data_true // 2
     med = 0.5 * (srt[i0] + srt[i1])
     model = model * (tgt.med_data / med)
-    data_renorm = continuum_renorm(tgt.data_flux, model, tgt.V, tgt.Vpinv)
+    if renorm:
+        data_renorm = continuum_renorm(tgt.data_flux, model, tgt.V, tgt.Vpinv)
+    else:
+        data_renorm = tgt.data_flux
 
     resid2 = ((model - data_renorm) / tgt.data_err) ** 2
     resid2 = jnp.where(jnp.isfinite(resid2), resid2, 0.0)
@@ -186,8 +194,8 @@ def _chi2_terms(p, tgt: PackedTarget, spec_mult):
     return chi_spec_w, chi_c, chi_p
 
 
-def chi2_total(p, tgt: PackedTarget, spec_mult=1.0):
-    a, b, c = _chi2_terms(p, tgt, spec_mult)
+def chi2_total(p, tgt: PackedTarget, spec_mult=1.0, renorm=True):
+    a, b, c = _chi2_terms(p, tgt, spec_mult, renorm=renorm)
     return a + b + c
 
 
@@ -245,7 +253,7 @@ def log_prior(p, tgt: PackedTarget):
             rvals = ratios
             model_vals = model_vals[1:]
         for rv, mv in zip(rvals, jnp.stack(model_vals)):
-            lp += -0.5 * ((rv - mv) / (0.02 * mv)) ** 2
+            lp += -0.5 * ((rv - mv) / (tgt.rad_sigma_frac * mv)) ** 2
 
     ok = _bounds_ok(p, tgt)
     return jnp.where(ok, lp, -jnp.inf)
@@ -268,7 +276,9 @@ def optimizer_chi2(p, tgt: PackedTarget, rad_sigma=None):
     """
     n = tgt.nspec
     teffs, av, r1, ratios, plx = _unpack(p, tgt)
-    cs = chi2_total(p, tgt, spec_mult=3.0)
+    # fit_spec scores median-matched model vs RAW data (no continuum renorm,
+    # mft6.py:1007-1014) with the x3 spectrum weight (mft6.py:1015)
+    cs = chi2_total(p, tgt, spec_mult=3.0, renorm=False)
 
     if tgt.fit_plx:
         dist_pc = 1.0 / jnp.maximum(plx, 1e-12)

@@ -170,7 +170,10 @@ def setup_context(
     dist_pc = (1.0 / cfg.plx) if cfg.plx and cfg.plx > 0 else None
     av_table = _resolve(cfg.av_profile, cfg) if cfg.av_profile else None
     av_profile = AvProfile.for_target(
-        cfg.ra, cfg.dec, cfg.av, cfg.av_err, dist_pc=dist_pc, table_path=av_table
+        cfg.ra, cfg.dec, cfg.av, cfg.av_err, dist_pc=dist_pc, table_path=av_table,
+        # bundled assets/av_los fixture discovery: the koi id appears in
+        # dirname ("koi2298") or the data filename; fname is bare ("2298")
+        target_name=f"{cfg.dirname} {cfg.filename} koi{cfg.fname}",
     )
 
     ndim = cfg.ndim
@@ -203,6 +206,9 @@ def setup_context(
         dtype=dtype,
         pad_nd=pad_nd,
         pad_nc=pad_nc,
+        # 0.02 with a genuine mist_2mass_old.cmd (reference parity); widened
+        # in quadrature by the builtin table's declared ~5% radius error
+        rad_sigma_frac=mist.rad_prior_sigma_frac,
     )
     return FitContext(
         cfg=cfg,

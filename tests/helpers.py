@@ -295,3 +295,42 @@ class RefEmulator:
         if not np.isfinite(lp):
             return -np.inf
         return lp - 0.5 * self.chi2(p, spec_mult=1.0)
+
+    def optimizer_chi2(self, p, rad_sigma=None):
+        """ANNEALER-stage scoring, transcribed from ``fit_spec``
+        (mft6.py:999-1050): the model is median-matched and scored against
+        the RAW data (no ``norm_spec`` continuum renorm — that is an
+        emcee-stage refinement, mft6.py:1172-1174), the per-point mean
+        spectrum chi^2 carries the x3 weight (mft6.py:1015), and the priors
+        enter in ``opt_prior``'s chi^2 convention (no 0.5, mft6.py:833-854):
+        dust at the trial distance, the parallax measurement, and the MIST
+        radii with the annealer's current step sizes as sigmas
+        (mft6.py:1030-1050)."""
+        n = self.nspec
+        fwd = self.forward(p)
+        model = fwd["model_data"]
+        model = model * np.median(self.data_flux) / np.median(model)
+        tc = (model - self.data_flux) ** 2 / self.data_err**2
+        ttc = np.sum(tc) / len(tc) * 3.0
+        chi_c = np.sum((fwd["contrasts"] - self.cmag) ** 2 / self.cerr**2)
+        chi_p = np.sum((fwd["phot_ext"] - self.pmag) ** 2 / self.perr**2)
+        nc, npf = len(self.cmag), len(self.pmag)
+        cs = self.spectrum_weight * ttc * (nc + npf) + chi_c + chi_p
+
+        av = p[n]
+        plx = p[2 * n + 1]
+        d = 1.0 / plx
+        mu = np.interp(np.log(d), np.log(self.av_profile.dist_pc), self.av_profile.av_mu)
+        sig = np.interp(np.log(d), np.log(self.av_profile.dist_pc), self.av_profile.av_sig)
+        cs += ((av - mu) / sig) ** 2
+        if self.dist_fit and self.prior_mu is not None and self.prior_mu[-1] != 0:
+            cs += ((plx - self.prior_mu[-1]) / self.prior_sig[-1]) ** 2
+        if self.rad_prior:
+            rad = np.asarray(p[n + 1: 2 * n + 1])
+            m1 = float(self.mist.get_radius(p[0]))
+            m2 = float(self.mist.get_radius(p[1]))
+            model_vals = np.array([m1, m2 / m1])
+            if rad_sigma is None:
+                rad_sigma = 0.05 * rad  # initial step-size convention (mft6.py:918)
+            cs += np.sum((rad - model_vals) ** 2 / np.asarray(rad_sigma) ** 2)
+        return float(cs)

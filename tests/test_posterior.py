@@ -180,3 +180,53 @@ class TestVmapJit:
         b = float(chi2_total(jnp.asarray(p, dtype=jnp.float32), tgt32))
         # f32 packing holds chi2 to <1% on normalised data
         assert abs(a - b) / abs(a) < 1e-2
+
+
+class TestAnnealerStageParity:
+    """Annealer (fit_spec) scoring vs the reference emulator (VERDICT r2
+    next-round item 6: the x3-weighted stage-1 path was previously compared
+    only internally).  fit_spec median-matches the model and scores against
+    the RAW data — no deg-2 continuum renorm (mft6.py:1007-1014), unlike the
+    emcee-stage loglikelihood (mft6.py:1172-1174)."""
+
+    def test_optimizer_chi2_matches_emulator(self, setup):
+        st, tgt = setup
+        emu = st["emulator"]
+        for p in _params_near_truth(st, 8, seed=17):
+            got = float(optimizer_chi2(jnp.asarray(p), tgt))
+            exp = emu.optimizer_chi2(p)
+            assert abs(got - exp) / max(abs(exp), 1e-9) < 2e-4, (got, exp, p)
+
+    def test_optimizer_chi2_batch_matches_emulator(self, setup):
+        from mcmc_spec_tpu.inference.batched import optimizer_chi2_batch
+
+        st, tgt = setup
+        emu = st["emulator"]
+        P = _params_near_truth(st, 8, seed=19)
+        got = np.asarray(optimizer_chi2_batch(jnp.asarray(P), tgt))
+        exp = np.array([emu.optimizer_chi2(p) for p in P])
+        np.testing.assert_allclose(got, exp, rtol=2e-4)
+
+    def test_rad_prior_with_step_sigmas(self):
+        from mcmc_spec_tpu.inference.batched import optimizer_chi2_batch
+
+        st, tgt = make_setup(rad_prior=True, dtype=jnp.float64)
+        emu = st["emulator"]
+        P = _params_near_truth(st, 6, seed=23)
+        rad_sigma = np.abs(0.08 * P[:, 3:5])  # annealer step sizes
+        got = np.asarray(optimizer_chi2_batch(
+            jnp.asarray(P), tgt, rad_sigma=jnp.asarray(rad_sigma)))
+        exp = np.array([emu.optimizer_chi2(p, rad_sigma=s)
+                        for p, s in zip(P, rad_sigma)])
+        np.testing.assert_allclose(got, exp, rtol=2e-4)
+
+    def test_annealer_skips_continuum_renorm(self, setup):
+        """The stage-1 chi^2 must differ from a renorm'd one (regression:
+        round-2 applied the emcee-stage renorm inside the annealer)."""
+        from mcmc_spec_tpu.inference.posterior import chi2_total
+
+        st, tgt = setup
+        p = jnp.asarray(st["p_truth"] * 1.02)
+        with_renorm = float(chi2_total(p, tgt, spec_mult=3.0, renorm=True))
+        without = float(chi2_total(p, tgt, spec_mult=3.0, renorm=False))
+        assert abs(with_renorm - without) / max(without, 1e-9) > 1e-6

@@ -72,10 +72,11 @@ def _row_median_nonneg(model, iters: int = 31):
     ``iters=31`` is exact (the full non-negative bit range is 2^31).  Smaller
     values trade accuracy for passes: the rank search is within
     ``2^(8-iters)`` relative, plus (for even rows) half the gap between the
-    two middle order statistics, whose exact averaging fast mode skips —
-    negligible on ~2k-point spectra (an opt-in fast mode; the median only
-    sets the global spectrum scale alpha, so sub-0.1%% error is far below
-    posterior noise).
+    two middle order statistics, whose exact averaging fast mode skips.
+    The 20-pass mode is the production default since round 3: the median
+    only sets the global spectrum scale alpha, and the measured end-to-end
+    posterior impact is <= 0.006 sigma (scripts/fast_median_impact.py) for
+    ~+25%% throughput.
     """
     nd = model.shape[1]
     r1 = (nd + 1) // 2  # 1-based rank of lower middle

@@ -63,26 +63,31 @@ def fused_eval_forced() -> bool:
 
 
 def median_iters() -> int:
-    """Radix-median pass count: 31 = exact (default).
+    """Radix-median pass count: DEFAULT 20 (fast), 31 = exact.
 
-    ``MCMC_SPEC_FAST_MEDIAN`` is an accuracy dial: ``1`` selects the measured
-    sweet spot of 20 passes (relative spectrum-scale error < 2.5e-4 on real
-    spectra, ~+22% sampler throughput); any integer in [8, 31] selects that
-    pass count directly.  Resolved ONCE at target-pack time
-    (``pack_target`` -> ``PackedTarget.median_iters``) and threaded into the
-    kernels as a static argument, so flipping the env var mid-process takes
-    effect on the next pack, not silently never (the round-2 footgun: the
-    kernels read the env at trace time and the jit cache is keyed only on
-    shapes).
+    ``MCMC_SPEC_FAST_MEDIAN`` is an accuracy dial: any integer in [8, 31]
+    selects that pass count (``31``/``exact`` = np.median-identical; ``1``
+    is a legacy alias for 20).  20 passes is the production default since
+    round 3: the measured end-to-end posterior impact on the koi2298-shaped
+    synthetic-truth fit is <= 0.006 of the posterior sigma on every
+    parameter (scripts/fast_median_impact.py, benchmarks/RESULTS.md) for
+    ~+22% sampler throughput; the residual spectrum-scale error is
+    < 2.5e-4 relative.  Resolved ONCE at target-pack time (``pack_target``
+    -> ``PackedTarget.median_iters``) and threaded into the kernels as a
+    static argument, so flipping the env var mid-process takes effect on
+    the next pack, not silently never (the round-2 footgun: the kernels
+    read the env at trace time and the jit cache is keyed only on shapes).
     """
     raw = os.environ.get("MCMC_SPEC_FAST_MEDIAN", "")
     if not raw:
+        return 20
+    if raw.lower() == "exact":
         return 31
     n = int(raw)
     if n == 1:
         return 20
     if not 8 <= n <= 31:
-        raise ValueError(f"MCMC_SPEC_FAST_MEDIAN={raw!r}: use 1 or 8..31")
+        raise ValueError(f"MCMC_SPEC_FAST_MEDIAN={raw!r}: use 'exact', 1, or 8..31")
     return n
 
 

@@ -7,6 +7,13 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
+# Parity suites validate EXACT np.median semantics against the scalar /
+# emulator references; the production default is the 20-pass fast median
+# (measured posterior impact <= 0.006 sigma — scripts/fast_median_impact.py),
+# whose accuracy envelope has its own dedicated tests (TestFastMedian,
+# TestPackTimeDials set the env explicitly).
+os.environ.setdefault("MCMC_SPEC_FAST_MEDIAN", "exact")
+
 import jax  # noqa: E402
 
 # The axon sitecustomize force-selects the TPU platform via jax.config, which

@@ -53,15 +53,16 @@ PEAK_VPU_OPS = 4 * 8 * 128 * 0.94e9  # scaling-book 4-ALU model: NOT achievable
 # ceiling the fused kernel runs at ~100% (silicon-bound): one median pass
 # costs 1.37 ns/eval marginal = ~1.1 multiply-equivalents per element.
 MEASURED_VPU_CEILING = 1.42e12
-# Calibrated once from the round-3 sampler rates at two pass counts
-# (13.06M evals/s at 20 passes, 10.43M at 31 -> a 2x2 linear system against
-# the measured ceiling): one median pass = 1.39 mult-equivalents/element,
-# the rest of the kernel = 33.  With these constants ``vpu_util_est`` reads
-# 1.00 at the round-3 silicon state for BOTH pass counts, so it acts as a
+# Calibrated from the round-3 sampler rates against the measured ceiling:
+# one median pass = 1.39 mult-equivalents/element (from the 20-vs-31-pass
+# marginal), the non-median remainder = 26.9 at the final round-3 default
+# (bf16x3 matmul; it was 33 with bf16x6 — the difference is the matmul time
+# the bf16x3 dial removed).  With these constants ``vpu_util_est`` reads
+# 1.00 at the round-3 final state (14.5M evals/s), so it acts as a
 # regression indicator: < 1 means the kernel lost ground, > 1 means it
-# genuinely beat the previously constructible ceiling.
+# genuinely beat the round-3 silicon state.
 MEASURED_PASS_EQUIV = 1.39  # one radix-median count-compare pass
-MEASURED_REST_EQUIV = 33.0  # everything else in the fused kernel
+MEASURED_REST_EQUIV = 26.9  # everything else (bf16x3 default state)
 
 
 def _flop_accounting(tgt, iters=20):
@@ -81,7 +82,8 @@ def _flop_accounting(tgt, iters=20):
     # MXU: spectrum matmul runs as 6 bf16 passes (ops/pallas_kernels._dot_f32)
     # with K=56 padded to 128 by the hardware tile; small photometry matmuls.
     mxu_logical = 2 * NO * nd + 2 * NO * (nc * nspec + npf)
-    mxu_executed = 6 * 2 * 128 * nd + 6 * 2 * 128 * (nc * nspec + npf)
+    passes = 3  # bf16x3 default (MCMC_SPEC_MATMUL_PASSES)
+    mxu_executed = passes * 2 * 128 * nd + passes * 2 * 128 * (nc * nspec + npf)
     # VPU (per eval): measured mult-equivalents per element -- one median
     # pass costs MEASURED_PASS_EQUIV, the rest of the kernel (extinction,
     # median refinement, renorm, chi^2) MEASURED_REST_EQUIV.
@@ -117,8 +119,8 @@ def main():
     # measured end-to-end posterior impact <= 0.006 sigma,
     # scripts/fast_median_impact.py); the exact 31-pass mode is reported
     # alongside for continuity with the round-1/2 headlines.
-    tgt_fast = dataclasses.replace(tgt, median_iters=20)
-    tgt_exact = dataclasses.replace(tgt, median_iters=31)
+    tgt_fast = dataclasses.replace(tgt, median_iters=20, matmul_passes=3)
+    tgt_exact = dataclasses.replace(tgt, median_iters=31, matmul_passes=6)
     rate = _measure(tgt_fast, truth, dtype)
     rate_exact = _measure(tgt_exact, truth, dtype)
 
@@ -129,7 +131,7 @@ def main():
         f"[receipts] {rate/1e6:.2f}M evals/s (20-pass default; exact "
         f"{rate_exact/1e6:.2f}M) | "
         f"MXU: {rate*mxu_logical/1e12:.3f} TFLOP/s logical, "
-        f"{rate*mxu_executed/1e12:.2f} TFLOP/s executed (bf16x6, K padded to 128) "
+        f"{rate*mxu_executed/1e12:.2f} TFLOP/s executed (bf16x3, K padded to 128) "
         f"= {100*mfu:.1f}% of bf16 peak | "
         f"VPU: ~{rate*vpu_ops/1e12:.2f} T mult-equivalents/s "
         f"~= {100*vpu_util:.0f}% of the MEASURED vector ceiling "

@@ -188,7 +188,8 @@ def _chi2_terms_batch(p, tgt: PackedTarget, spec_mult, chi_spec=None,
         chi_spec = spectrum_chi2(
             Wcomb, av, tgt.D.reshape(nT * nG, nd), tgt.ext_k_data,
             tgt.data_flux, tgt.data_err, tgt.V, tgt.Vpinv, tgt.med_data,
-            iters=tgt.median_iters or None,  # pack-time dial; 0 = env fallback
+            iters=tgt.median_iters or None,  # pack-time dials; 0 = env fallback
+            mm_passes=tgt.matmul_passes or None,
         )
     else:
         chi_spec = _spec_chi2_xla(Wcomb, av, tgt)

@@ -76,7 +76,8 @@ def log_posterior_fleet(params, fleet: PackedTarget):
             Wcomb, av, fleet.D.reshape(ntgt, nT * nG, nd), fleet.ext_k_data,
             fleet.data_flux, fleet.data_err, fleet.V, fleet.Vpinv,
             fleet.med_data, fleet.n_data_true,
-            iters=fleet.median_iters or None,  # pack-time dial; 0 = env fallback
+            iters=fleet.median_iters or None,  # pack-time dials; 0 = env fallback
+            mm_passes=fleet.matmul_passes or None,
         )
         return jax.vmap(
             lambda p, t, cs: log_posterior_batch(p, t, chi_spec=cs)

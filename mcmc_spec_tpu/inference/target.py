@@ -116,6 +116,9 @@ class PackedTarget:
     # jit cache holds an entry for the shapes (the round-2 footgun).
     median_iters: int = 0
     eval_block: int = 0
+    # bf16 pass count of the in-kernel f32-emulating MXU matmul (3 default,
+    # 6 = full ~2.5e-7 scheme; see utils.flags.matmul_passes); 0 = unset
+    matmul_passes: int = 0
 
     # fractional sigma of the MIST radius prior (mft6.py:1268 uses 0.02
     # against the genuine isochrone; the builtin substitute table widens it —
@@ -152,7 +155,7 @@ jax.tree_util.register_dataclass(
     ],
     meta_fields=["nspec", "dist_fit", "rad_prior", "fit_plx", "spectrum_weight",
                  "spectrum_backend", "median_iters", "eval_block",
-                 "rad_sigma_frac"],
+                 "matmul_passes", "rad_sigma_frac"],
 )
 
 
@@ -269,6 +272,7 @@ def pack_target(
         spectrum_backend=backend,
         median_iters=flags.median_iters(),
         eval_block=flags.eval_block(),
+        matmul_passes=flags.matmul_passes(),
         # default 0.02 = the reference's exact width (tests/parity); the
         # production pipeline passes MistTable.rad_prior_sigma_frac, which
         # widens it when only the builtin substitute table is available

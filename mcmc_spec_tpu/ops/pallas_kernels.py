@@ -44,6 +44,13 @@ def _median_iters() -> int:
     return median_iters()
 
 
+def _matmul_passes() -> int:
+    """Trace-time fallback mirroring :func:`_median_iters`."""
+    from mcmc_spec_tpu.utils.flags import matmul_passes
+
+    return matmul_passes()
+
+
 def _row_order_stat_bits(mi, rank, iters: int = 31):
     """Smallest int32 bit-value v per row with count(mi <= v) >= rank.
 
@@ -105,17 +112,28 @@ def _split3(x):
     return hi, mid, lo
 
 
-def _dot_f32(a, b):
-    """Full-f32-accurate MXU matmul inside Mosaic.
+def _dot_f32(a, b, passes: int = 6):
+    """f32-accurate MXU matmul inside Mosaic via split-bf16 passes.
 
     Mosaic lowers an f32 ``jnp.dot`` to a *single* bf16 MXU pass (~2.5e-3
-    relative error) regardless of the precision hint, so emulate the classic
-    bf16x6 scheme explicitly: split both operands into 3 bf16 terms and sum
-    the 6 significant cross products (~2.5e-7 relative error).
+    relative error) regardless of the precision hint, so emulate f32
+    explicitly: split both operands into 3 bf16 terms and sum the cross
+    products.  ``passes=6`` keeps every term to O(eps^2) (~2.5e-7 relative);
+    ``passes=3`` drops the three O(eps^2) terms (~3e-4 relative on the
+    log-posterior, measured <= 0.006 sigma end-to-end posterior impact —
+    scripts/matmul_passes_impact.py — the production default); ``passes=1``
+    is raw bf16 (too coarse for chi^2; diagnostic only).
     """
+    d = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)
+    if passes == 1:
+        return d(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16))
     ah, am, al = _split3(a)
     bh, bm, bl = _split3(b)
-    d = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)
+    if passes == 3:
+        out = d(am, bh)
+        out += d(ah, bm)
+        out += d(ah, bh)
+        return out
     out = d(al, bh)
     out += d(am, bm)
     out += d(ah, bl)
@@ -125,14 +143,15 @@ def _dot_f32(a, b):
     return out
 
 
-def _spectrum_block(Wcomb, av, D, kd, data, inv_err, VpinvT, VT, med_data, iters):
+def _spectrum_block(Wcomb, av, D, kd, data, inv_err, VpinvT, VT, med_data, iters,
+                    mm_passes=6):
     """Shared spectrum-statistics body: model, extinction, median match,
     continuum renorm, mean chi^2.  All operands VMEM-resident.
 
     ``inv_err`` is 1/err precomputed host/XLA-side: a [B, nd] VPU divide per
     eval replaced by a multiply (padded fleet errors are inf -> inv 0, so
     padded residuals stay exactly zero)."""
-    model = _dot_f32(Wcomb, D)
+    model = _dot_f32(Wcomb, D, mm_passes)
     trans = jnp.where(av > 0, jnp.exp(LN10_04 * av * kd), 1.0)
     model = model * trans
 
@@ -162,13 +181,14 @@ def _spectrum_chi2_kernel(
     out_ref,  # [B, 1]
     *,
     iters,
+    mm_passes,
 ):
     # continuum renorm runs on the VPU in exact f32 (the K=3 / N=3
     # contractions would round through bf16 on the MXU); V matrices arrive
     # pre-transposed as [3, nd]
     out_ref[:] = _spectrum_block(
         Wc_ref[:], av_ref[:], D_ref[:], kd_ref[:], data_ref[:], inv_err_ref[:],
-        VpinvT_ref[:], VT_ref[:], medd_ref[0, 0], iters,
+        VpinvT_ref[:], VT_ref[:], medd_ref[0, 0], iters, mm_passes,
     )
 
 
@@ -186,9 +206,10 @@ def _spectrum_chi2_fleet_kernel(
     out_ref,  # [B, 1]
     *,
     iters,
+    mm_passes,
 ):
     """Fleet variant: per-row median ranks / counts (targets are padded)."""
-    model = _dot_f32(Wc_ref[:], D_ref[0])
+    model = _dot_f32(Wc_ref[:], D_ref[0], mm_passes)
     av = av_ref[:]
     trans = jnp.where(av > 0, jnp.exp(LN10_04 * av * kd_ref[0]), 1.0)
     model = model * trans
@@ -223,7 +244,8 @@ def _spectrum_chi2_fleet_kernel(
     out_ref[:] = jnp.sum(resid * resid, axis=1, keepdims=True) * inv_n
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret", "iters"))
+@functools.partial(jax.jit, static_argnames=("block", "interpret", "iters",
+                                              "mm_passes"))
 def spectrum_chi2_fleet(
     Wcomb,  # [ntgt, nw, NO]
     av,  # [ntgt, nw]
@@ -238,6 +260,7 @@ def spectrum_chi2_fleet(
     block: int = 512,
     interpret: bool = False,
     iters: int | None = None,
+    mm_passes: int | None = None,
 ):
     """Fleet spectrum chi^2: per-target D/data blocks, per-row median ranks.
 
@@ -254,6 +277,10 @@ def spectrum_chi2_fleet(
     """
     if iters is None:
         iters = _median_iters()
+    if mm_passes is None:
+        from mcmc_spec_tpu.utils.flags import matmul_passes
+
+        mm_passes = matmul_passes()
     ntgt, nw, NO = Wcomb.shape
     nd = D.shape[2]
     cap = 256 if nd > 3000 else 512
@@ -284,7 +311,8 @@ def spectrum_chi2_fleet(
     ).reshape(ntgt * nw, 2)
 
     out = pl.pallas_call(
-        functools.partial(_spectrum_chi2_fleet_kernel, iters=iters),
+        functools.partial(_spectrum_chi2_fleet_kernel, iters=iters,
+                          mm_passes=mm_passes),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=(ntgt * bpt,),
@@ -319,10 +347,12 @@ def spectrum_chi2_fleet(
     return out.reshape(ntgt, nw)[:, :nw_true]
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret", "iters"))
+@functools.partial(jax.jit, static_argnames=("block", "interpret", "iters",
+                                              "mm_passes"))
 def spectrum_chi2(
     Wcomb, av, D_flat, ext_k_data, data_flux, data_err, V, Vpinv, med_data,
     block: int = 512, interpret: bool = False, iters: int | None = None,
+    mm_passes: int | None = None,
 ):
     """Fused per-walker spectrum chi^2 (mean over data points).
 
@@ -347,6 +377,10 @@ def spectrum_chi2(
     """
     if iters is None:
         iters = _median_iters()
+    if mm_passes is None:
+        from mcmc_spec_tpu.utils.flags import matmul_passes
+
+        mm_passes = matmul_passes()
     NW, NO = Wcomb.shape
     nd = D_flat.shape[1]
     cap = 256 if nd > 3000 else 512  # keep ~4 block-sized temporaries in VMEM
@@ -365,7 +399,8 @@ def spectrum_chi2(
     grid = (NW // block,)
 
     out = pl.pallas_call(
-        functools.partial(_spectrum_chi2_kernel, iters=iters),
+        functools.partial(_spectrum_chi2_kernel, iters=iters,
+                          mm_passes=mm_passes),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
@@ -468,6 +503,7 @@ def _posterior_kernel(
     spectrum_weight,
     median_iters,
     rad_sigma,
+    mm_passes,
 ):
     p = p_ref[:]
     n = nspec
@@ -511,7 +547,7 @@ def _posterior_kernel(
         Wk = _tent_w(tT, teffs[s]) * _tent_w(tG, logg_s)  # [B, NO]
         sWk = scales[s] * Wk
         Wcomb = sWk if Wcomb is None else Wcomb + sWk
-        cflux = _dot_f32(sWk, Fc_ref[:])  # [B, nc]
+        cflux = _dot_f32(sWk, Fc_ref[:], mm_passes)  # [B, nc]
         cmags.append(-2.5 / LN10 * jnp.log(jnp.maximum(cflux, tiny)))
         if rad_prior:
             lum_s = jnp.sum(wm * lum_nodes, axis=1, keepdims=True)
@@ -531,7 +567,7 @@ def _posterior_kernel(
         contrasts = jnp.where(col < nc // 2, cmags[1] - cmags[0], cmags[2] - cmags[0])
 
     # --- photometry
-    pflux = _dot_f32(Wcomb, Fp_ref[:])  # [B, npf]
+    pflux = _dot_f32(Wcomb, Fp_ref[:], mm_passes)  # [B, npf]
     pmag_obs = pobs_ref[0][None, :]
     perr = pobs_ref[1][None, :]
     zp = pobs_ref[2][None, :]
@@ -548,7 +584,7 @@ def _posterior_kernel(
     if spectrum_weight != 0.0:
         chi_spec = _spectrum_block(
             Wcomb, av, D_ref[:], kd_ref[:], data_ref[:], inv_err_ref[:],
-            VpinvT_ref[:], VT_ref[:], med_data, median_iters,
+            VpinvT_ref[:], VT_ref[:], med_data, median_iters, mm_passes,
         )
     else:
         chi_spec = jnp.zeros_like(chi_c)
@@ -667,6 +703,7 @@ def log_posterior_fused(p, tgt, block: int = 0, interpret: bool = False):
         spectrum_weight=tgt.spectrum_weight,
         median_iters=med_iters,
         rad_sigma=getattr(tgt, "rad_sigma_frac", 0.02),
+        mm_passes=getattr(tgt, "matmul_passes", 0) or _matmul_passes(),
     )
     nc, npf = tgt.cmag.shape[0], tgt.pmag.shape[0]
     nm = tgt.mist_teff_nodes.shape[0]
@@ -767,6 +804,7 @@ def _fleet_posterior_kernel(
     spectrum_weight,
     median_iters,
     rad_sigma,
+    mm_passes,
 ):
     p = p_ref[:]
     n = nspec
@@ -810,7 +848,7 @@ def _fleet_posterior_kernel(
         Wk = _tent_w(tT, teffs[s]) * _tent_w(tG, logg_s)
         sWk = scales[s] * Wk
         Wcomb = sWk if Wcomb is None else Wcomb + sWk
-        cflux = _dot_f32(sWk, Fc_ref[0])
+        cflux = _dot_f32(sWk, Fc_ref[0], mm_passes)
         cmags.append(-2.5 / LN10 * jnp.log(jnp.maximum(cflux, tiny)))
         if rad_prior:
             lum_s = jnp.sum(wm * lum_nodes, axis=1, keepdims=True)
@@ -828,7 +866,7 @@ def _fleet_posterior_kernel(
         col = jax.lax.broadcasted_iota(jnp.int32, (p.shape[0], nc), 1)
         contrasts = jnp.where(col < nc // 2, cmags[1] - cmags[0], cmags[2] - cmags[0])
 
-    pflux = _dot_f32(Wcomb, Fp_ref[0])
+    pflux = _dot_f32(Wcomb, Fp_ref[0], mm_passes)
     phot = -2.5 / LN10 * jnp.log(jnp.maximum(pflux / pobs_ref[0, 2][None, :], tiny))
     phot = jnp.where(av > 0, phot + av * pobs_ref[0, 3][None, :], phot)
 
@@ -842,7 +880,7 @@ def _fleet_posterior_kernel(
     )
 
     if spectrum_weight != 0.0:
-        model = _dot_f32(Wcomb, D_ref[0])
+        model = _dot_f32(Wcomb, D_ref[0], mm_passes)
         trans = jnp.where(av > 0, jnp.exp(LN10_04 * av * kd_ref[0]), 1.0)
         model = model * trans
         mi = jax.lax.bitcast_convert_type(model, jnp.int32)
@@ -995,6 +1033,7 @@ def log_posterior_fleet_fused(params, fleet, block: int = 0,
         spectrum_weight=fleet.spectrum_weight,
         median_iters=getattr(fleet, "median_iters", 0) or _median_iters(),
         rad_sigma=getattr(fleet, "rad_sigma_frac", 0.02),
+        mm_passes=getattr(fleet, "matmul_passes", 0) or _matmul_passes(),
     )
     nc, npf = fleet.cmag.shape[1], fleet.pmag.shape[1]
     nm = fleet.mist_teff_nodes.shape[1]

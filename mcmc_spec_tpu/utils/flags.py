@@ -98,3 +98,27 @@ def eval_block() -> int:
     The kernels still clamp to the measured VMEM caps per data width.
     """
     return int(os.environ.get("MCMC_SPEC_EVAL_BLOCK", "256"))
+
+
+def matmul_passes() -> int:
+    """bf16 pass count of the in-kernel f32-accurate MXU matmul: 3 or 6.
+
+    Mosaic lowers f32 matmuls to single-pass bf16 (~2.5e-3 relative — far
+    too coarse), so the kernels emulate f32 with split-bf16 passes.  The
+    full bf16x6 scheme is ~2.5e-7 relative; dropping the three O(eps^2)
+    cross terms (bf16x3) is ~3e-4 relative on the log-posterior and was
+    measured at <= 0.006 sigma end-to-end posterior impact
+    (scripts/matmul_passes_impact.py) for ~+9% eval throughput — the
+    production default since round 3.  ``MCMC_SPEC_MATMUL_PASSES=6`` (or
+    ``exact``) restores the full scheme (the parity suites pin it).
+    Resolved at pack time (``PackedTarget.matmul_passes``).
+    """
+    raw = os.environ.get("MCMC_SPEC_MATMUL_PASSES", "")
+    if not raw:
+        return 3
+    if raw.lower() == "exact":
+        return 6
+    n = int(raw)
+    if n not in (1, 3, 6):
+        raise ValueError(f"MCMC_SPEC_MATMUL_PASSES={raw!r}: use 3, 6, or 'exact'")
+    return n

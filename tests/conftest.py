@@ -13,6 +13,9 @@ if "xla_force_host_platform_device_count" not in flags:
 # whose accuracy envelope has its own dedicated tests (TestFastMedian,
 # TestPackTimeDials set the env explicitly).
 os.environ.setdefault("MCMC_SPEC_FAST_MEDIAN", "exact")
+# same for the bf16x3 matmul default (measured impact <= 0.006 sigma,
+# scripts/matmul_passes_impact.py): parity suites pin the ~2.5e-7 bf16x6 mode
+os.environ.setdefault("MCMC_SPEC_MATMUL_PASSES", "exact")
 
 import jax  # noqa: E402
 

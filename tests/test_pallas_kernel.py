@@ -453,3 +453,62 @@ class TestPackTimeDials:
         exact2 = np.asarray(log_posterior_fused(
             P, dataclasses.replace(tgt, median_iters=31), interpret=True))
         np.testing.assert_array_equal(exact, exact2)
+
+
+class TestMatmulPassesDial:
+    """bf16 pass-count dial of the in-kernel f32-emulating matmul
+    (MCMC_SPEC_MATMUL_PASSES; 3 = production default, measured <= 0.006
+    sigma posterior impact — scripts/matmul_passes_impact.py; 6 = the
+    ~2.5e-7 scheme the parity suites pin)."""
+
+    def test_env_resolution(self, monkeypatch):
+        from mcmc_spec_tpu.utils.flags import matmul_passes
+
+        monkeypatch.delenv("MCMC_SPEC_MATMUL_PASSES", raising=False)
+        assert matmul_passes() == 3
+        monkeypatch.setenv("MCMC_SPEC_MATMUL_PASSES", "exact")
+        assert matmul_passes() == 6
+        monkeypatch.setenv("MCMC_SPEC_MATMUL_PASSES", "6")
+        assert matmul_passes() == 6
+        monkeypatch.setenv("MCMC_SPEC_MATMUL_PASSES", "4")
+        with pytest.raises(ValueError):
+            matmul_passes()
+
+    def test_pack_stamps_passes(self, monkeypatch):
+        from mcmc_spec_tpu.inference.target import pack_target
+
+        st, _ = make_setup(dtype=jnp.float32)
+        monkeypatch.setenv("MCMC_SPEC_MATMUL_PASSES", "3")
+        tgt = pack_target(
+            st["grid"], st["data_wl_um"], st["data_flux"], st["data_err"],
+            st["cfilts"], st["cmag"], st["cerr"], st["pfilts"], st["zps"],
+            st["pmag"], st["perr"], st["mist"], st["av_profile"],
+            nspec=2, dtype=jnp.float32,
+        )
+        assert tgt.matmul_passes == 3
+
+    def test_three_pass_accuracy_envelope(self):
+        """bf16x3 vs bf16x6 through the fused kernel (interpret mode): the
+        dropped O(eps^2) cross terms bound the log-posterior deviation at
+        the documented ~1e-3 level (measured 3.4e-4 rel on TPU; interpret
+        mode reproduces the same arithmetic)."""
+        import dataclasses
+
+        from mcmc_spec_tpu.ops.pallas_kernels import log_posterior_fused
+
+        st, tgt = make_setup(dtype=jnp.float32)
+        rng = np.random.RandomState(9)
+        P = jnp.asarray(
+            np.stack([st["p_truth"] * (1 + 0.02 * rng.randn(6)) for _ in range(16)]),
+            jnp.float32,
+        )
+        six = np.asarray(log_posterior_fused(
+            P, dataclasses.replace(tgt, matmul_passes=6), interpret=True))
+        three = np.asarray(log_posterior_fused(
+            P, dataclasses.replace(tgt, matmul_passes=3), interpret=True))
+        fin = np.isfinite(six)
+        assert fin.any()
+        rel = np.abs(three[fin] - six[fin]) / np.maximum(np.abs(six[fin]), 1e-9)
+        assert rel.max() < 2e-3, rel.max()
+        # and they are NOT identical (the dial demonstrably reaches the MXU)
+        assert not np.array_equal(three[fin], six[fin])

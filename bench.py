@@ -53,16 +53,15 @@ PEAK_VPU_OPS = 4 * 8 * 128 * 0.94e9  # scaling-book 4-ALU model: NOT achievable
 # ceiling the fused kernel runs at ~100% (silicon-bound): one median pass
 # costs 1.37 ns/eval marginal = ~1.1 multiply-equivalents per element.
 MEASURED_VPU_CEILING = 1.42e12
-# Calibrated from the round-3 sampler rates against the measured ceiling:
-# one median pass = 1.39 mult-equivalents/element (from the 20-vs-31-pass
-# marginal), the non-median remainder = 26.9 at the final round-3 default
-# (bf16x3 matmul; it was 33 with bf16x6 — the difference is the matmul time
-# the bf16x3 dial removed).  With these constants ``vpu_util_est`` reads
-# 1.00 at the round-3 final state (14.5M evals/s), so it acts as a
-# regression indicator: < 1 means the kernel lost ground, > 1 means it
-# genuinely beat the round-3 silicon state.
-MEASURED_PASS_EQUIV = 1.39  # one radix-median count-compare pass
-MEASURED_REST_EQUIV = 26.9  # everything else (bf16x3 default state)
+# Calibrated from the round-3 sampler rates against the measured ceiling
+# (15.7M evals/s @ 16 passes, 14.3M @ 20, both at the bf16x3 matmul
+# default): one median pass = 1.21 mult-equivalents/element, the non-median
+# remainder = 31.1.  With these constants ``vpu_util_est`` reads 1.00 at
+# the round-3 final state, so it acts as a regression indicator: < 1 means
+# the kernel lost ground, > 1 means it genuinely beat the round-3 silicon
+# state.
+MEASURED_PASS_EQUIV = 1.21  # one radix-median count-compare pass
+MEASURED_REST_EQUIV = 31.1  # everything else (bf16x3 default state)
 
 
 def _flop_accounting(tgt, iters=20):
@@ -119,16 +118,16 @@ def main():
     # measured end-to-end posterior impact <= 0.006 sigma,
     # scripts/fast_median_impact.py); the exact 31-pass mode is reported
     # alongside for continuity with the round-1/2 headlines.
-    tgt_fast = dataclasses.replace(tgt, median_iters=20, matmul_passes=3)
+    tgt_fast = dataclasses.replace(tgt, median_iters=16, matmul_passes=3)
     tgt_exact = dataclasses.replace(tgt, median_iters=31, matmul_passes=6)
     rate = _measure(tgt_fast, truth, dtype)
     rate_exact = _measure(tgt_exact, truth, dtype)
 
-    mxu_logical, mxu_executed, vpu_ops = _flop_accounting(tgt, iters=20)
+    mxu_logical, mxu_executed, vpu_ops = _flop_accounting(tgt, iters=16)
     mfu = rate * mxu_executed / PEAK_MXU_BF16
     vpu_util = rate * vpu_ops / MEASURED_VPU_CEILING
     print(
-        f"[receipts] {rate/1e6:.2f}M evals/s (20-pass default; exact "
+        f"[receipts] {rate/1e6:.2f}M evals/s (16-pass default; exact "
         f"{rate_exact/1e6:.2f}M) | "
         f"MXU: {rate*mxu_logical/1e12:.3f} TFLOP/s logical, "
         f"{rate*mxu_executed/1e12:.2f} TFLOP/s executed (bf16x3, K padded to 128) "

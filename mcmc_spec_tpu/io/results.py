@@ -183,8 +183,34 @@ def _ckpt_backend() -> str:
     return mode
 
 
+def _ckpt_async() -> bool:
+    """``MCMC_SPEC_CKPT_ASYNC=1``: orbax saves return immediately and commit
+    in a background thread (the sampler keeps stepping during serialization).
+    Loads and the completion cleanup always barrier on in-flight saves, so
+    resume semantics are unchanged (tests/test_resume.py runs both modes)."""
+    return os.environ.get("MCMC_SPEC_CKPT_ASYNC", "0").lower() in ("1", "true")
+
+
 def _orbax_dir(path: str) -> str:
     return os.path.abspath(path) + ".orbax"
+
+
+_ASYNC_CKPTR = None  # lazily-built orbax AsyncCheckpointer (process-wide)
+
+
+def _async_checkpointer():
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        import orbax.checkpoint as ocp
+
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_checkpoints() -> None:
+    """Barrier on any in-flight async orbax save (no-op otherwise)."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
 
 
 def save_checkpoint(ck: "Checkpoint", path: str) -> None:
@@ -201,10 +227,17 @@ def save_checkpoint(ck: "Checkpoint", path: str) -> None:
     if ck.chain is not None:
         tree["chain"] = np.asarray(ck.chain)
     d = _orbax_dir(path)
-    with ocp.PyTreeCheckpointer() as ckptr:
+    if _ckpt_async():
+        ckptr = _async_checkpointer()
+        ckptr.wait_until_finished()  # one in-flight save at a time
         ckptr.save(d, tree, force=True)
-    # config tag rides next to the tree (orbax trees hold arrays, not strings)
-    with open(os.path.join(d, "config_tag.txt"), "w") as f:
+    else:
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(d, tree, force=True)
+    # config tag rides NEXT TO the tree dir (orbax trees hold arrays, not
+    # strings, and an async save materialises ``d`` by atomic rename only at
+    # commit time, so writing inside ``d`` here would race/vanish)
+    with open(d + ".tag", "w") as f:
         f.write(ck.config_tag)
 
 
@@ -213,13 +246,17 @@ def maybe_load_checkpoint(path: str) -> Optional["Checkpoint"]:
         return Checkpoint.maybe_load(path)
     import orbax.checkpoint as ocp
 
+    wait_for_checkpoints()
     d = _orbax_dir(path)
     if not os.path.isdir(d):
         return None
     with ocp.PyTreeCheckpointer() as ckptr:
         tree = ckptr.restore(d)
-    tag_path = os.path.join(d, "config_tag.txt")
-    tag = open(tag_path).read() if os.path.exists(tag_path) else ""
+    tag = ""
+    for tag_path in (d + ".tag", os.path.join(d, "config_tag.txt")):
+        if os.path.exists(tag_path):  # new location, then legacy in-dir
+            tag = open(tag_path).read()
+            break
     return Checkpoint(
         coords=np.asarray(tree["coords"]), log_prob=np.asarray(tree["log_prob"]),
         key=np.asarray(tree["key"]), step=int(tree["step"]),
@@ -231,9 +268,12 @@ def maybe_load_checkpoint(path: str) -> Optional["Checkpoint"]:
 
 def remove_checkpoint(path: str) -> None:
     """Completion cleanup for whichever backend wrote the checkpoint."""
+    wait_for_checkpoints()
     if os.path.exists(path):
         os.remove(path)
     d = _orbax_dir(path)
+    if os.path.exists(d + ".tag"):
+        os.remove(d + ".tag")
     if os.path.isdir(d):
         import shutil
 

@@ -51,12 +51,17 @@ def _matmul_passes() -> int:
     return matmul_passes()
 
 
-def _row_order_stat_bits(mi, rank, iters: int = 31):
+def _row_order_stat_bits(mi, rank, iters: int = 31, midpoint: bool = False):
     """Smallest int32 bit-value v per row with count(mi <= v) >= rank.
 
     ``mi``: [B, nd] int32 bit patterns of non-negative f32 (monotone order).
     ``iters=31`` fixed binary-search iterations cover the full bit range
-    exactly; fewer iterations return the interval's upper bound.
+    exactly.  Fewer iterations leave a ``2^(31-iters)``-wide bit interval
+    [lo, hi] that brackets the order statistic: by default the upper bound
+    is returned (a one-sided overestimate); ``midpoint=True`` returns the
+    interval midpoint instead, which HALVES the worst-case error and
+    removes the systematic sign for free (two scalar [B,1] ops) — used by
+    the fast-median modes.
     """
     B = mi.shape[0]
     lo = jnp.zeros((B, 1), jnp.int32)
@@ -70,6 +75,8 @@ def _row_order_stat_bits(mi, rank, iters: int = 31):
         return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
 
     lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    if midpoint:
+        return lo + ((hi - lo) >> 1)
     return hi
 
 
@@ -88,10 +95,10 @@ def _row_median_nonneg(model, iters: int = 31):
     nd = model.shape[1]
     r1 = (nd + 1) // 2  # 1-based rank of lower middle
     mi = jax.lax.bitcast_convert_type(model, jnp.int32)
-    v1 = _row_order_stat_bits(mi, r1, iters)
+    v1 = _row_order_stat_bits(mi, r1, iters, midpoint=iters < 31)
     x1 = jax.lax.bitcast_convert_type(v1, jnp.float32)  # [B,1]
     if iters < 31:
-        return x1  # approximate: skip the exact upper-middle refinement
+        return x1  # approximate: bracket midpoint, no upper-middle refinement
     if nd % 2 == 1:
         return x1
     # upper middle: equal to x1 if it repeats past rank r1, else the next
@@ -218,7 +225,7 @@ def _spectrum_chi2_fleet_kernel(
     r1 = rank_ref[:, 0][:, None]
     r2 = rank_ref[:, 1][:, None]
     it = iters
-    v1 = _row_order_stat_bits(mi, r1, it)
+    v1 = _row_order_stat_bits(mi, r1, it, midpoint=it < 31)
     x1 = jax.lax.bitcast_convert_type(v1, jnp.float32)
     if it < 31:
         med = x1
@@ -887,7 +894,7 @@ def _fleet_posterior_kernel(
         it = median_iters
         r1b = ranks_ref[:, 0][:, None]
         r2b = ranks_ref[:, 1][:, None]
-        v1 = _row_order_stat_bits(mi, r1b, it)
+        v1 = _row_order_stat_bits(mi, r1b, it, midpoint=it < 31)
         x1 = jax.lax.bitcast_convert_type(v1, jnp.float32)
         if it < 31:
             med = x1

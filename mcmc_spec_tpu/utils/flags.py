@@ -63,16 +63,19 @@ def fused_eval_forced() -> bool:
 
 
 def median_iters() -> int:
-    """Radix-median pass count: DEFAULT 20 (fast), 31 = exact.
+    """Radix-median pass count: DEFAULT 16 (fast), 31 = exact.
 
     ``MCMC_SPEC_FAST_MEDIAN`` is an accuracy dial: any integer in [8, 31]
     selects that pass count (``31``/``exact`` = np.median-identical; ``1``
-    is a legacy alias for 20).  20 passes is the production default since
-    round 3: the measured end-to-end posterior impact on the koi2298-shaped
-    synthetic-truth fit is <= 0.006 of the posterior sigma on every
-    parameter (scripts/fast_median_impact.py, benchmarks/RESULTS.md) for
-    ~+22% sampler throughput; the residual spectrum-scale error is
-    < 2.5e-4 relative.  Resolved ONCE at target-pack time (``pack_target``
+    is a legacy alias for 20).  16 passes is the production default since
+    round 3: fast modes return the MIDPOINT of the remaining rank-search
+    interval (halved, sign-free error), and the measured end-to-end
+    posterior impact on the koi2298-shaped synthetic-truth fit is <= 0.003
+    of the posterior sigma on every parameter
+    (scripts/fast_median_impact.py, benchmarks/RESULTS.md) for ~+10%
+    sampler throughput over the 20-pass mode (itself +25% over exact); the
+    residual spectrum-scale error is ~2e-3 relative worst-case.  Resolved
+    ONCE at target-pack time (``pack_target``
     -> ``PackedTarget.median_iters``) and threaded into the kernels as a
     static argument, so flipping the env var mid-process takes effect on
     the next pack, not silently never (the round-2 footgun: the kernels
@@ -80,7 +83,7 @@ def median_iters() -> int:
     """
     raw = os.environ.get("MCMC_SPEC_FAST_MEDIAN", "")
     if not raw:
-        return 20
+        return 16
     if raw.lower() == "exact":
         return 31
     n = int(raw)

@@ -93,3 +93,33 @@ class TestResultsArtifacts:
         write_walker_traces(d, tp, tc)
         w0 = np.genfromtxt(os.path.join(d, "params0.txt"))
         assert w0.shape == (5, 6)
+
+
+@pytest.mark.skipif(not HAVE_BPS, reason="bps unavailable")
+class TestBpsTextFormatFuzz:
+    """Parse every TEXT-format transmission file in bps/ (.dat/.txt/.csv —
+    the existing fuzz covers the FITS files; the *.tab files are binary
+    STSDAS tables that neither the reference nor this framework reads — the
+    same curves ship as the ``*_002.fits`` variants the generic loader
+    branch consumes)."""
+
+    def test_every_text_file_parses(self):
+        import glob as globmod
+
+        n_text = 0
+        for path in sorted(globmod.glob(os.path.join(BPS, "*"))):
+            if os.path.isdir(path):
+                continue
+            name = os.path.basename(path)
+            if name.endswith((".dat", ".txt", ".csv")):
+                delim = "," if name.endswith(".csv") else None
+                arr = np.genfromtxt(path, delimiter=delim, comments="#")
+                assert arr.ndim == 2 and arr.shape[1] >= 2, name
+                assert np.isfinite(arr[:, 0]).all(), name  # wavelength column
+                n_text += 1
+        # Gaia passband tables live in a subdirectory; count them too
+        for path in sorted(globmod.glob(os.path.join(BPS, "*", "*.dat"))):
+            arr = np.genfromtxt(path)
+            assert arr.ndim == 2 and arr.shape[1] >= 2, os.path.basename(path)
+            n_text += 1
+        assert n_text >= 15, n_text  # 13 top-level .dat/.txt/.csv + Gaia subdir

@@ -123,9 +123,10 @@ class TestFastMedian:
         from mcmc_spec_tpu.ops.pallas_kernels import _median_iters
 
         monkeypatch.delenv("MCMC_SPEC_FAST_MEDIAN", raising=False)
-        # production default since round 3: 20-pass fast median (measured
-        # posterior impact <= 0.006 sigma, scripts/fast_median_impact.py)
-        assert _median_iters() == 20
+        # production default since round 3: 16-pass fast median with the
+        # interval-midpoint refinement (measured posterior impact <= 0.003
+        # sigma, scripts/fast_median_impact.py)
+        assert _median_iters() == 16
         monkeypatch.setenv("MCMC_SPEC_FAST_MEDIAN", "exact")
         assert _median_iters() == 31
         monkeypatch.setenv("MCMC_SPEC_FAST_MEDIAN", "1")
@@ -421,7 +422,7 @@ class TestPackTimeDials:
         monkeypatch.delenv("MCMC_SPEC_FAST_MEDIAN", raising=False)
         monkeypatch.delenv("MCMC_SPEC_EVAL_BLOCK", raising=False)
         t0 = pack()
-        assert t0.median_iters == 20 and t0.eval_block == 256  # fast default
+        assert t0.median_iters == 16 and t0.eval_block == 256  # fast default
         monkeypatch.setenv("MCMC_SPEC_FAST_MEDIAN", "exact")
         assert pack().median_iters == 31
         monkeypatch.setenv("MCMC_SPEC_FAST_MEDIAN", "25")

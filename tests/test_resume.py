@@ -100,3 +100,35 @@ class TestOrbaxBackend:
         assert rio.maybe_load_checkpoint(path).step == 10
         rio.remove_checkpoint(path)
         assert rio.maybe_load_checkpoint(path) is None
+
+
+class TestAsyncOrbax:
+    def test_async_roundtrip(self, tmp_path, monkeypatch):
+        """MCMC_SPEC_CKPT_ASYNC=1: save returns immediately; load barriers
+        on the in-flight commit and restores bit-identically."""
+        import numpy as np
+
+        from mcmc_spec_tpu.io import results as results_io
+
+        monkeypatch.setenv("MCMC_SPEC_CKPT_BACKEND", "orbax")
+        monkeypatch.setenv("MCMC_SPEC_CKPT_ASYNC", "1")
+        path = str(tmp_path / "chain_checkpoint.npz")
+        rng = np.random.RandomState(0)
+        ck = results_io.Checkpoint(
+            coords=rng.randn(8, 6), log_prob=rng.randn(8),
+            key=np.array([1, 2], dtype=np.uint32), step=300, n_accept=41,
+            config_tag="async:test:tag",
+        )
+        results_io.save_checkpoint(ck, path)
+        # immediately overwrite (exercises the one-in-flight barrier)
+        ck2 = results_io.Checkpoint(
+            coords=ck.coords * 2, log_prob=ck.log_prob, key=ck.key,
+            step=400, n_accept=50, config_tag="async:test:tag",
+        )
+        results_io.save_checkpoint(ck2, path)
+        got = results_io.maybe_load_checkpoint(path)
+        assert got is not None and got.step == 400 and got.n_accept == 50
+        np.testing.assert_array_equal(got.coords, ck2.coords)
+        assert got.config_tag == "async:test:tag"
+        results_io.remove_checkpoint(path)
+        assert results_io.maybe_load_checkpoint(path) is None

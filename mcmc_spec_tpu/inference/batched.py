@@ -178,10 +178,11 @@ def _chi2_terms_batch(p, tgt: PackedTarget, spec_mult, chi_spec=None,
     elif tgt.spectrum_weight == 0.0:
         # nospec mode: the spectrum term is dropped entirely (mft6_nospec.py)
         chi_spec = jnp.zeros(p.shape[0], dtype=p.dtype)
-    elif not renorm:
-        # annealer scoring: not the hot path, always plain XLA
-        chi_spec = _spec_chi2_xla_median_only(Wcomb, av, tgt)
     elif tgt.spectrum_backend != "xla" and use_pallas_spectrum(p.dtype):
+        # the kernel carries both scoring conventions: renorm=True is the
+        # emcee-stage likelihood, renorm=False the annealer's median-only
+        # chi^2 (the round-3 XLA-only annealer fallback measured 3.6 s vs
+        # ~1 s for the same schedule through the kernel)
         from mcmc_spec_tpu.ops.pallas_kernels import spectrum_chi2
 
         nT, nG, nd = tgt.D.shape
@@ -190,9 +191,12 @@ def _chi2_terms_batch(p, tgt: PackedTarget, spec_mult, chi_spec=None,
             tgt.data_flux, tgt.data_err, tgt.V, tgt.Vpinv, tgt.med_data,
             iters=tgt.median_iters or None,  # pack-time dials; 0 = env fallback
             mm_passes=tgt.matmul_passes or None,
+            renorm=renorm,
         )
-    else:
+    elif renorm:
         chi_spec = _spec_chi2_xla(Wcomb, av, tgt)
+    else:
+        chi_spec = _spec_chi2_xla_median_only(Wcomb, av, tgt)
 
     apply_ext = (av > 0)[:, None]
     phot = jnp.where(apply_ext, phot_raw + av[:, None] * tgt.ext_k_cwl[None, :], phot_raw)

@@ -151,13 +151,17 @@ def _dot_f32(a, b, passes: int = 6):
 
 
 def _spectrum_block(Wcomb, av, D, kd, data, inv_err, VpinvT, VT, med_data, iters,
-                    mm_passes=6):
+                    mm_passes=6, renorm=True):
     """Shared spectrum-statistics body: model, extinction, median match,
     continuum renorm, mean chi^2.  All operands VMEM-resident.
 
     ``inv_err`` is 1/err precomputed host/XLA-side: a [B, nd] VPU divide per
     eval replaced by a multiply (padded fleet errors are inf -> inv 0, so
-    padded residuals stay exactly zero)."""
+    padded residuals stay exactly zero).
+
+    ``renorm=False`` is the ANNEALER scoring (``fit_spec``,
+    mft6.py:1007-1014): median match only, chi^2 against the raw data —
+    stage 1 never applies the deg-2 continuum renorm."""
     model = _dot_f32(Wcomb, D, mm_passes)
     trans = jnp.where(av > 0, jnp.exp(LN10_04 * av * kd), 1.0)
     model = model * trans
@@ -165,12 +169,15 @@ def _spectrum_block(Wcomb, av, D, kd, data, inv_err, VpinvT, VT, med_data, iters
     med = _row_median_nonneg(model, iters=iters)  # [B,1]
     model = model * (med_data / med)
 
-    frac = data / model  # [B, nd]
-    c0 = jnp.sum(frac * VpinvT[0][None, :], axis=1, keepdims=True)
-    c1 = jnp.sum(frac * VpinvT[1][None, :], axis=1, keepdims=True)
-    c2 = jnp.sum(frac * VpinvT[2][None, :], axis=1, keepdims=True)
-    fitted = c0 * VT[0][None, :] + c1 * VT[1][None, :] + c2 * VT[2][None, :]
-    data_renorm = data / fitted
+    if renorm:
+        frac = data / model  # [B, nd]
+        c0 = jnp.sum(frac * VpinvT[0][None, :], axis=1, keepdims=True)
+        c1 = jnp.sum(frac * VpinvT[1][None, :], axis=1, keepdims=True)
+        c2 = jnp.sum(frac * VpinvT[2][None, :], axis=1, keepdims=True)
+        fitted = c0 * VT[0][None, :] + c1 * VT[1][None, :] + c2 * VT[2][None, :]
+        data_renorm = data / fitted
+    else:
+        data_renorm = data
     resid = (model - data_renorm) * inv_err
     return jnp.mean(resid * resid, axis=1, keepdims=True)
 
@@ -189,6 +196,7 @@ def _spectrum_chi2_kernel(
     *,
     iters,
     mm_passes,
+    renorm,
 ):
     # continuum renorm runs on the VPU in exact f32 (the K=3 / N=3
     # contractions would round through bf16 on the MXU); V matrices arrive
@@ -196,6 +204,7 @@ def _spectrum_chi2_kernel(
     out_ref[:] = _spectrum_block(
         Wc_ref[:], av_ref[:], D_ref[:], kd_ref[:], data_ref[:], inv_err_ref[:],
         VpinvT_ref[:], VT_ref[:], medd_ref[0, 0], iters, mm_passes,
+        renorm=renorm,
     )
 
 
@@ -355,11 +364,11 @@ def spectrum_chi2_fleet(
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret", "iters",
-                                              "mm_passes"))
+                                              "mm_passes", "renorm"))
 def spectrum_chi2(
     Wcomb, av, D_flat, ext_k_data, data_flux, data_err, V, Vpinv, med_data,
     block: int = 512, interpret: bool = False, iters: int | None = None,
-    mm_passes: int | None = None,
+    mm_passes: int | None = None, renorm: bool = True,
 ):
     """Fused per-walker spectrum chi^2 (mean over data points).
 
@@ -407,7 +416,7 @@ def spectrum_chi2(
 
     out = pl.pallas_call(
         functools.partial(_spectrum_chi2_kernel, iters=iters,
-                          mm_passes=mm_passes),
+                          mm_passes=mm_passes, renorm=renorm),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,

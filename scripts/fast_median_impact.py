@@ -54,14 +54,14 @@ def run_chain(tgt, truth, iters):
 def main():
     print(f"devices: {jax.devices()}", flush=True)
     tgt, truth = build_bench_target(jnp.float32)
-    chains = {it: run_chain(tgt, truth, it) for it in (31, 25, 20, 16)}
+    chains = {it: run_chain(tgt, truth, it) for it in (31, 14, 12)}
 
     base = chains[31]
     med0, sig0 = np.median(base, axis=0), base.std(axis=0)
     print(f"\ntruth:          {np.array2string(np.asarray(truth), precision=4)}")
     print(f"exact medians:  {np.array2string(med0, precision=4)}")
     print(f"exact sigmas:   {np.array2string(sig0, precision=4)}")
-    for it in (25, 20, 16):
+    for it in (14, 12):
         med = np.median(chains[it], axis=0)
         sig = chains[it].std(axis=0)
         shift = (med - med0) / sig0

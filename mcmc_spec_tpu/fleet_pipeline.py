@@ -227,13 +227,20 @@ def run_fleet_mcmc(
                                        stage="burnin")
         state = state._replace(n_accept=jnp.zeros((), jnp.int32))
 
+    # bounded-walker ACL accumulator (see run_mcmc_stage): the gate cost
+    # stays flat at config-5 scale (9 x 4096 walkers) instead of re-running
+    # full-ensemble FFTs over a re-concatenated chain every chunk
+    ACL_MAX_WALKERS = 256
     kept = [] if prior_chain is None else [prior_chain]
+    acl_kept = ([] if prior_chain is None
+                else [prior_chain[:, :, :ACL_MAX_WALKERS]])
     old_taus = None
     n_done = start_chunk * nthin
     for n in range(start_chunk, max(nsteps // nthin, 1)):
         state, chain, _ = run_fleet_ensemble(state, fleet, n_steps=nthin, thin=1)
         chain = np.asarray(jax.device_get(chain))  # [nthin, ntgt, nw, ndim]
         kept.append(chain)
+        acl_kept.append(chain[:, :, :ACL_MAX_WALKERS])
         n_done += nthin
         for t, cfg in enumerate(cfgs):
             results_io.dump_coords(cfg.dirname, cfg.fname, n * nthin, chain[-1, t],
@@ -247,8 +254,8 @@ def run_fleet_mcmc(
                 chain=None, config_tag=config_tag,
             ), ckpt_path)
         if check_convergence:
-            full = np.concatenate(kept, axis=0)
-            taus_t = [integrated_time(full[:, t]) for t in range(ntgt)]
+            acl_full = np.concatenate(acl_kept, axis=0)
+            taus_t = [integrated_time(acl_full[:, t]) for t in range(ntgt)]
             for t, cfg in enumerate(cfgs):
                 results_io.append_autocorr(cfg.dirname, cfg.fname,
                                            float(np.mean(taus_t[t])))

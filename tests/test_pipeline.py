@@ -168,3 +168,33 @@ class TestPipeline:
         kc = np.genfromtxt(os.path.join(d, "kep_contrast.txt"))
         assert np.median(kc) > 0.5  # 4600K vs 3400K companion is much fainter
         assert np.median(kc) < 10
+
+
+class TestSharedGridCache:
+    def test_grid_cache_shared_across_dirnames(self, tmp_path, monkeypatch):
+        """Identical grid specs pack ONCE per run directory, not once per
+        target dirname (a 9-target fleet measured 18 ~20 s synthetic-grid
+        builds before the shared .grid_cache/)."""
+        import time as _time
+
+        from mcmc_spec_tpu.pipeline import build_grid
+        from mcmc_spec_tpu.utils.config import FitConfig
+
+        monkeypatch.chdir(tmp_path)
+        cfg = FitConfig()
+        cfg.models = "synthetic"
+        cfg.tmin, cfg.tmax = 3000, 3800
+        cfg.specmin, cfg.specmax = 6000, 9000
+        cfg.res = 1700
+        cfg.dirname = "tgt_a"
+        g1 = build_grid(cfg, (6450.0, 8400.0))
+        assert os.path.isdir(".grid_cache")
+        cfg.dirname = "tgt_b"  # different target, same grid spec
+        t0 = _time.time()
+        g2 = build_grid(cfg, (6450.0, 8400.0))
+        assert _time.time() - t0 < 2.0  # cache hit, no rebuild
+        np.testing.assert_array_equal(g1.flux, g2.flux)
+        # a different data window is a different packed grid (hybrid-res
+        # broadening bakes it into the fluxes) -> distinct cache entry
+        g3 = build_grid(cfg, (6500.0, 8300.0))
+        assert not np.array_equal(g1.flux, g3.flux)

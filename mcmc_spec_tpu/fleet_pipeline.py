@@ -206,12 +206,19 @@ def run_fleet_mcmc(
         print("[fleet resume] checkpoint belongs to a different run config; ignoring")
         ckpt = None
     if ckpt is not None and ckpt.coords.shape == p0.shape:
+        prior_chain = store.load_upto(ckpt.step // nthin)  # [steps, ntgt, nw, ndim]
+        if prior_chain is None and ckpt.step > 0:
+            # checkpoint without its chunk store (e.g. chunks deleted):
+            # resuming would silently drop the pre-crash history
+            print("[fleet resume] checkpoint found but fleet_chain_chunks/ "
+                  "is missing; restarting from scratch")
+            ckpt = None
+    if ckpt is not None and ckpt.coords.shape == p0.shape:
         state = init_fleet_ensemble(
             shard_coords(jnp.asarray(ckpt.coords, dtype=dtype)), fleet,
             jnp.asarray(ckpt.key))
         state = state._replace(n_accept=jnp.asarray(ckpt.n_accept, jnp.int32))
         start_chunk = ckpt.step // nthin
-        prior_chain = store.load_upto(start_chunk)  # [steps, ntgt, nw, ndim]
     else:
         if not resume:
             store.clear()

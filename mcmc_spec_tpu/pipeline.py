@@ -420,14 +420,21 @@ def run_mcmc_stage(
         print("[resume] checkpoint belongs to a different run config; ignoring")
         ckpt = None
     if ckpt is not None and ckpt.coords.shape == p0.shape:
+        # chain collected so far: chunked store, or the legacy in-checkpoint blob
+        prior_chain = store.load_upto(ckpt.step // nthin)
+        if prior_chain is None:
+            prior_chain = ckpt.chain
+        if prior_chain is None and ckpt.step > 0:
+            # checkpoint without chain history: resuming would silently drop
+            # the pre-crash samples from samples.txt
+            print("[resume] checkpoint found but chain_chunks/ is missing; "
+                  "restarting from scratch")
+            ckpt = None
+    if ckpt is not None and ckpt.coords.shape == p0.shape:
         state = driver.init(jnp.asarray(ckpt.coords, dtype=tgt.data_flux.dtype),
                             jnp.asarray(ckpt.key))
         state = state._replace(n_accept=jnp.asarray(ckpt.n_accept, jnp.int32))
         start_chunk = ckpt.step // nthin
-        # chain collected so far: chunked store, or the legacy in-checkpoint blob
-        prior_chain = store.load_upto(start_chunk)
-        if prior_chain is None:
-            prior_chain = ckpt.chain
     else:
         if not resume:
             store.clear()

@@ -154,10 +154,6 @@ def main():
     rest = f31 - 31 * fpp
     print(f"    non-median remainder: {rest*1e3:.2f} ms = "
           f"{ceil*rest/elems:.1f} mult-equivalents per element")
-    # honest utilisation receipt: achieved mult-equivalents/s vs measured
-    # ceiling C (and vs the 4-ALU paper model)
-    total_equiv = ceil * f31  # ops the ceiling kernel would do in f31
-    done_equiv = 31 * (ceil * per_pass) + ceil * rest  # == ceil * f31 (by defn)
     print(f"    per-pass cost {ceil*per_pass/elems:.2f} vs analytic 3 ops -> "
           f"the round-2 op model under-counted by "
           f"{ceil*per_pass/elems/3:.2f}x; bench.py receipts updated with the "

@@ -546,3 +546,34 @@ class TestAnnealerKernelMode:
             jnp.median(tgt.data_flux), interpret=True, renorm=True,
         ))
         assert not np.allclose(got, with_renorm)
+
+
+class TestProductionDialComboEnvelope:
+    """The SHIPPED default combination (16-pass midpoint median + bf16x3
+    matmul) vs fully-exact arithmetic through the fused kernel: the combined
+    log-posterior deviation stays within the documented ~2e-3 envelope, and
+    the -inf support is identical (dials must never flip prior bounds)."""
+
+    def test_combined_defaults_vs_exact(self):
+        import dataclasses
+
+        from mcmc_spec_tpu.ops.pallas_kernels import log_posterior_fused
+
+        st, tgt = make_setup(dtype=jnp.float32)
+        rng = np.random.RandomState(21)
+        P = jnp.asarray(
+            np.stack([st["p_truth"] * (1 + 0.03 * rng.randn(6)) for _ in range(24)]
+                     + [st["p_truth"] * 0 + 1.0]),  # out-of-bounds walker
+            jnp.float32,
+        )
+        exact = np.asarray(log_posterior_fused(
+            P, dataclasses.replace(tgt, median_iters=31, matmul_passes=6),
+            interpret=True))
+        prod = np.asarray(log_posterior_fused(
+            P, dataclasses.replace(tgt, median_iters=16, matmul_passes=3),
+            interpret=True))
+        np.testing.assert_array_equal(np.isfinite(prod), np.isfinite(exact))
+        fin = np.isfinite(exact)
+        assert fin.any() and not fin.all()
+        rel = np.abs(prod[fin] - exact[fin]) / np.maximum(np.abs(exact[fin]), 1e-9)
+        assert rel.max() < 5e-3, rel.max()

@@ -41,14 +41,17 @@ def parse_param_file(path: str) -> dict:
     pardict = {}
     with open(path) as fi:
         for line in fi:
-            if line.startswith("#") or line.strip() == "":
+            # tabs count as separators (the reference splits on ' ' then
+            # strips a trailing tab from the value, mft6.py:3458-3466; this
+            # is a tolerant superset — array values still must contain no
+            # spaces, per the reference's documented format)
+            line = line.replace("\t", " ").strip()
+            if line.startswith("#") or line == "":
                 continue
             fields = line.split(" ")
-            if len(fields) < 2:
+            if len(fields) < 2 or fields[1] == "" or fields[1].startswith("#"):
                 continue
-            key, val = fields[0], fields[1]
-            val = val.split("\t")[0].strip()
-            pardict[str(key)] = val
+            pardict[str(fields[0])] = fields[1].strip()
     return pardict
 
 
@@ -132,7 +135,9 @@ class FitConfig:
                 kw[key] = _parse_bool(val)
             elif key in ("res", "tmin", "tmax", "specmin", "specmax", "nwalk", "nstep",
                          "nspec", "ndust", "nburn", "nsteps", "seed"):
-                kw[key] = int(val)
+                # the reference reads these via float() (e.g. tma/tmi,
+                # mft6.py:3472-3475), so "5600.0" must parse
+                kw[key] = int(float(val))
             elif key in ("models", "dirname", "fname", "filename", "grid_dir", "bps_dir",
                          "data_dir", "av_profile"):
                 kw[key] = str(val)

@@ -369,3 +369,47 @@ class TestFleetResume:
                              check_convergence=False, mesh=None, resume=True)
         # ran from scratch (2 chunks of 50 x 16 walkers each)
         assert out[0].shape[0] == 100 * 16
+
+
+class TestShardedCollectiveStructure:
+    """Structural multi-chip receipt: the compiled sharded step must contain
+    ONLY the designed collectives — the complement all-gather (one per
+    red/black half-update) and the acceptance-count psum — and no
+    all-to-all / collective-permute / cross-replica reduce of array data.
+    This is checkable on the virtual CPU mesh even though real multi-chip
+    hardware is unavailable (SURVEY parallelism table; scaling-book recipe:
+    annotate shardings, let XLA insert collectives, then VERIFY what it
+    inserted)."""
+
+    def test_compiled_sharded_step_collectives(self, fleet_fixture):
+        import jax
+
+        from mcmc_spec_tpu.inference.batched import log_posterior_batch
+        from mcmc_spec_tpu.parallel.mesh import make_mesh
+        from mcmc_spec_tpu.parallel.sharding import (
+            run_ensemble_sharded,
+            shard_ensemble_state,
+        )
+        from mcmc_spec_tpu.pipeline import setup_context
+        from mcmc_spec_tpu.utils.config import FitConfig
+
+        cfg = FitConfig.from_file(fleet_fixture["parfiles"][0])
+        cfg.dirname = "fit0_hlo"
+        ctx = setup_context(cfg, dtype=jnp.float64)
+        tgt = ctx.target
+        mesh = make_mesh(8, ("walkers",))
+        p0 = np.asarray(fleet_fixture["p0"][:32], dtype=np.float64)
+        logp = lambda b: log_posterior_batch(b, tgt)
+        state = shard_ensemble_state(jnp.asarray(p0), logp, jax.random.PRNGKey(0), mesh)
+
+        lowered = jax.jit(
+            lambda s: run_ensemble_sharded(s, logp, mesh, n_steps=4, thin=4)
+        ).lower(state)
+        hlo = lowered.compile().as_text()
+        # the two designed collectives appear...
+        assert "all-gather" in hlo
+        # ...and nothing unplanned: no all-to-all or collective-permute
+        # (DCN-hostile patterns the walker layout is designed to avoid)
+        assert "all-to-all" not in hlo
+        assert "collective-permute-start" not in hlo.replace(
+            "collective-permute-done", "")

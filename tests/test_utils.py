@@ -63,3 +63,47 @@ class TestFlags:
         monkeypatch.delenv("MCMC_SPEC_SPECTRUM_KERNEL")
         # auto on CPU/float64 -> False
         assert not use_pallas_spectrum(jnp.float64)
+
+
+class TestConfigParserRobustness:
+    """Adversarial param-file variants beyond the verbatim koi2298 fixture:
+    tab-separated values, inline comments, blank/comment-only lines, CRLF
+    endings, unknown keys (silently ignored, as the reference's dict parser
+    does), float-typed ints, and the filename-keyed synth switch."""
+
+    def test_adversarial_param_file(self, tmp_path):
+        from mcmc_spec_tpu.utils.config import FitConfig
+
+        path = tmp_path / "param_weird.txt"
+        path.write_bytes(
+            b"# leading comment\r\n"
+            b"\r\n"
+            b"models\tsynthetic\t#tab separated\r\n"
+            b"res 1700    # trailing comment\n"
+            b"tmin 3000\n"
+            b"tmax 5600.0\n"           # float-typed int
+            b"unknown_key whatever\n"  # ignored like the reference
+            b"cmag [1.5,2.5]\n"
+            b"cfilt ['lp600','Kp']\n"
+            b"mask TRUE\n"
+            b"rad_prior f\n"
+            b"plx 2e-3\n"
+            b"nwalk 16\n"
+        )
+        cfg = FitConfig.from_file(str(path))
+        assert cfg.models == "synthetic"
+        assert cfg.res == 1700 and cfg.tmin == 3000 and cfg.tmax == 5600
+        assert cfg.cmag == [1.5, 2.5] and cfg.cfilt == ["lp600", "Kp"]
+        assert cfg.mask is True and cfg.rad_prior is False
+        assert abs(cfg.plx - 2e-3) < 1e-12 and cfg.nwalk == 16
+        assert not cfg.synth
+
+    def test_synth_switch_keys_off_filename(self, tmp_path):
+        from mcmc_spec_tpu.utils.config import FitConfig
+
+        p = tmp_path / "param_synth_3850_3225.txt"
+        p.write_text("models synthetic\n")
+        assert FitConfig.from_file(str(p)).synth  # mft6.py:3553
+        q = tmp_path / "param_koi9999.txt"
+        q.write_text("models synthetic\n")
+        assert not FitConfig.from_file(str(q)).synth

@@ -40,9 +40,7 @@ def numpy_stretch_mcmc(logpost, p0, n_steps, rng, a=2.0):
     return np.asarray(chain)
 
 
-@pytest.mark.parametrize("seed", [0])
-def test_posterior_medians_match_reference_emulator(seed):
-    st, tgt = make_setup(dtype=jnp.float64)
+def _run_parity(st, tgt, seed):
     emu = st["emulator"]
     truth = st["p_truth"]
     rng = np.random.RandomState(seed)
@@ -78,3 +76,25 @@ def test_posterior_medians_match_reference_emulator(seed):
         )
         # posterior widths should also agree to ~50%
         assert 0.5 < (tpu_sig[i] / ref_sig[i]) < 2.0, name
+
+
+@pytest.mark.parametrize("seed", [0])
+def test_posterior_medians_match_reference_emulator(seed):
+    st, tgt = make_setup(dtype=jnp.float64)
+    _run_parity(st, tgt, seed)
+
+
+def test_parity_with_mist_radius_prior():
+    """Same 0.5-sigma loop with rad_prior on: exercises the MIST radius
+    prior end to end against the emulator's transcription (both at the
+    reference's exact 2% width — pack_target's default)."""
+    st, tgt = make_setup(rad_prior=True, dtype=jnp.float64)
+    assert tgt.rad_sigma_frac == 0.02
+    _run_parity(st, tgt, seed=3)
+
+
+def test_parity_nospec_mode():
+    """Same loop in mft6_nospec.py mode (spectrum term dropped, tightened
+    1/100 parallax cap): photometry+contrast-only posteriors must agree."""
+    st, tgt = make_setup(spectrum_weight=0.0, dtype=jnp.float64)
+    _run_parity(st, tgt, seed=5)

@@ -23,8 +23,9 @@ this chip is ~1.42 T ops/s (37%% of the scaling-book 4-ALU model, which is
 unachievable and made the round-2 receipts disagree), and against it the
 fused kernel runs at ~100%% — one median pass costs 1.37 ns marginal per
 eval (~1.1 multiply-equivalents/element), i.e. the kernel is at the
-constructible silicon limit; remaining levers are pass count (the 20-pass
-default, posterior impact <= 0.006 sigma) and MXU/VPU overlap.
+constructible silicon limit; remaining levers are op-count reductions
+(the 16-pass midpoint median and the 2-Newton renorm reciprocal are the
+shipped ones) and MXU/VPU overlap.
 """
 import json
 import sys
@@ -55,13 +56,16 @@ PEAK_VPU_OPS = 4 * 8 * 128 * 0.94e9  # scaling-book 4-ALU model: NOT achievable
 MEASURED_VPU_CEILING = 1.42e12
 # Calibrated from the round-3 sampler rates against the measured ceiling
 # (15.7M evals/s @ 16 passes, 14.3M @ 20, both at the bf16x3 matmul
-# default): one median pass = 1.21 mult-equivalents/element, the non-median
-# remainder = 31.1.  With these constants ``vpu_util_est`` reads 1.00 at
-# the round-3 final state, so it acts as a regression indicator: < 1 means
-# the kernel lost ground, > 1 means it genuinely beat the round-3 silicon
-# state.
+# default): one median pass = 1.21 mult-equivalents/element.  The non-median
+# remainder was 31.1 at the divide-based renorm; the 2-Newton reciprocal
+# default (16.56M evals/s measured) shaved it to 28.5 — the ~2.6
+# equivalents/element saved match the 4.5-8% divide share measured by
+# scripts/try_fast_recip.py.  With these constants ``vpu_util_est`` reads
+# 1.00 at the round-3 final state, so it acts as a regression indicator:
+# < 1 means the kernel lost ground, > 1 means it genuinely beat the round-3
+# silicon state.
 MEASURED_PASS_EQUIV = 1.21  # one radix-median count-compare pass
-MEASURED_REST_EQUIV = 31.1  # everything else (bf16x3 default state)
+MEASURED_REST_EQUIV = 28.5  # everything else (bf16x3 + recip2 default state)
 
 
 def _flop_accounting(tgt, iters=20):
@@ -114,12 +118,15 @@ def main():
 
     dtype = jnp.float32
     tgt, truth = build_bench_target(dtype)
-    # headline: the production default (20-pass fast median since round 3 --
-    # measured end-to-end posterior impact <= 0.006 sigma,
-    # scripts/fast_median_impact.py); the exact 31-pass mode is reported
-    # alongside for continuity with the round-1/2 headlines.
-    tgt_fast = dataclasses.replace(tgt, median_iters=16, matmul_passes=3)
-    tgt_exact = dataclasses.replace(tgt, median_iters=31, matmul_passes=6)
+    # headline: the production defaults (16-pass midpoint median + bf16x3
+    # matmul + 2-Newton renorm reciprocal, each with a measured accuracy
+    # receipt -- scripts/fast_median_impact.py, matmul_passes_impact.py,
+    # try_fast_recip.py); the fully-exact mode is reported alongside for
+    # continuity with the round-1/2 headlines.
+    tgt_fast = dataclasses.replace(tgt, median_iters=16, matmul_passes=3,
+                                   recip_newton=2)
+    tgt_exact = dataclasses.replace(tgt, median_iters=31, matmul_passes=6,
+                                    recip_newton=0)
     rate = _measure(tgt_fast, truth, dtype)
     rate_exact = _measure(tgt_exact, truth, dtype)
 

@@ -191,6 +191,7 @@ def _chi2_terms_batch(p, tgt: PackedTarget, spec_mult, chi_spec=None,
             tgt.data_flux, tgt.data_err, tgt.V, tgt.Vpinv, tgt.med_data,
             iters=tgt.median_iters or None,  # pack-time dials; 0 = env fallback
             mm_passes=tgt.matmul_passes or None,
+            recip=tgt.recip_newton if tgt.recip_newton >= 0 else None,
             renorm=renorm,
         )
     elif renorm:

@@ -78,6 +78,7 @@ def log_posterior_fleet(params, fleet: PackedTarget):
             fleet.med_data, fleet.n_data_true,
             iters=fleet.median_iters or None,  # pack-time dials; 0 = env fallback
             mm_passes=fleet.matmul_passes or None,
+            recip=fleet.recip_newton if fleet.recip_newton >= 0 else None,
         )
         return jax.vmap(
             lambda p, t, cs: log_posterior_batch(p, t, chi_spec=cs)

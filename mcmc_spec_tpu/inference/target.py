@@ -119,6 +119,11 @@ class PackedTarget:
     # bf16 pass count of the in-kernel f32-emulating MXU matmul (3 default,
     # 6 = full ~2.5e-7 scheme; see utils.flags.matmul_passes); 0 = unset
     matmul_passes: int = 0
+    # Newton steps of the in-kernel renorm reciprocal (2 default = ~8.6e-6
+    # relative and measurably faster than Mosaic's divide; 0 = exact divide;
+    # see utils.flags.recip_newton).  -1 = unset (0 is a VALID value here,
+    # so the unset sentinel differs from the dials above)
+    recip_newton: int = -1
 
     # fractional sigma of the MIST radius prior (mft6.py:1268 uses 0.02
     # against the genuine isochrone; the builtin substitute table widens it —
@@ -155,7 +160,7 @@ jax.tree_util.register_dataclass(
     ],
     meta_fields=["nspec", "dist_fit", "rad_prior", "fit_plx", "spectrum_weight",
                  "spectrum_backend", "median_iters", "eval_block",
-                 "matmul_passes", "rad_sigma_frac"],
+                 "matmul_passes", "recip_newton", "rad_sigma_frac"],
 )
 
 
@@ -273,6 +278,7 @@ def pack_target(
         median_iters=flags.median_iters(),
         eval_block=flags.eval_block(),
         matmul_passes=flags.matmul_passes(),
+        recip_newton=flags.recip_newton(),
         # default 0.02 = the reference's exact width (tests/parity); the
         # production pipeline passes MistTable.rad_prior_sigma_frac, which
         # widens it when only the builtin substitute table is available

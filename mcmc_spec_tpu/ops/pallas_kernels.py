@@ -51,6 +51,52 @@ def _matmul_passes() -> int:
     return matmul_passes()
 
 
+def _recip_newton() -> int:
+    """Trace-time fallback mirroring :func:`_median_iters`."""
+    from mcmc_spec_tpu.utils.flags import recip_newton
+
+    return recip_newton()
+
+
+def _resolve_recip(tgt) -> int:
+    """Pack-time recip dial off a PackedTarget; -1/absent = env fallback.
+
+    0 is a VALID stamped value here (exact divide), so the unset sentinel
+    is -1 rather than the 0 the other dials use."""
+    rn = getattr(tgt, "recip_newton", -1)
+    return rn if rn >= 0 else _recip_newton()
+
+
+_RECIP_MAGIC = 0x7EF311C3  # optimal-ish 1/x seed constant (Blinn-style)
+
+
+def _fast_recip(x, newton: int):
+    """Integer-magic reciprocal seed + Newton refinement (f32).
+
+    ``bitcast(0x7EF311C3 - bitcast(x))`` approximates 1/x to ~4% for normal
+    positive f32; each Newton step ``r*(2-x*r)`` squares the relative error
+    (2 steps ~1e-5).  Costs ~1+3n vector ops vs Mosaic's ``arith.divf``
+    lowering, and measured consistently FASTER at n=2 in the full spectrum
+    kernel (scripts/try_fast_recip.py: 1.045-1.08x; n=1 was NOT faster than
+    n=2 and is diagnostic only).  Degenerate denominators degrade the same
+    way the divide does: x=0 overflows to inf within two steps, negative or
+    non-finite x yields junk/NaN chi^2, and the posterior's NaN -> -inf
+    handling rejects the walker either way.
+    """
+    xi = jax.lax.bitcast_convert_type(x, jnp.int32)
+    r = jax.lax.bitcast_convert_type(jnp.int32(_RECIP_MAGIC) - xi, jnp.float32)
+    for _ in range(newton):
+        r = r * (2.0 - x * r)
+    return r
+
+
+def _div(num, den, recip: int):
+    """num/den, exact (recip=0) or via the magic-seed reciprocal."""
+    if recip == 0:
+        return num / den
+    return num * _fast_recip(den, recip)
+
+
 def _row_order_stat_bits(mi, rank, iters: int = 31, midpoint: bool = False):
     """Smallest int32 bit-value v per row with count(mi <= v) >= rank.
 
@@ -151,7 +197,7 @@ def _dot_f32(a, b, passes: int = 6):
 
 
 def _spectrum_block(Wcomb, av, D, kd, data, inv_err, VpinvT, VT, med_data, iters,
-                    mm_passes=6, renorm=True):
+                    mm_passes=6, renorm=True, recip=0):
     """Shared spectrum-statistics body: model, extinction, median match,
     continuum renorm, mean chi^2.  All operands VMEM-resident.
 
@@ -170,12 +216,12 @@ def _spectrum_block(Wcomb, av, D, kd, data, inv_err, VpinvT, VT, med_data, iters
     model = model * (med_data / med)
 
     if renorm:
-        frac = data / model  # [B, nd]
+        frac = _div(data, model, recip)  # [B, nd]
         c0 = jnp.sum(frac * VpinvT[0][None, :], axis=1, keepdims=True)
         c1 = jnp.sum(frac * VpinvT[1][None, :], axis=1, keepdims=True)
         c2 = jnp.sum(frac * VpinvT[2][None, :], axis=1, keepdims=True)
         fitted = c0 * VT[0][None, :] + c1 * VT[1][None, :] + c2 * VT[2][None, :]
-        data_renorm = data / fitted
+        data_renorm = _div(data, fitted, recip)
     else:
         data_renorm = data
     resid = (model - data_renorm) * inv_err
@@ -197,6 +243,7 @@ def _spectrum_chi2_kernel(
     iters,
     mm_passes,
     renorm,
+    recip,
 ):
     # continuum renorm runs on the VPU in exact f32 (the K=3 / N=3
     # contractions would round through bf16 on the MXU); V matrices arrive
@@ -204,7 +251,7 @@ def _spectrum_chi2_kernel(
     out_ref[:] = _spectrum_block(
         Wc_ref[:], av_ref[:], D_ref[:], kd_ref[:], data_ref[:], inv_err_ref[:],
         VpinvT_ref[:], VT_ref[:], medd_ref[0, 0], iters, mm_passes,
-        renorm=renorm,
+        renorm=renorm, recip=recip,
     )
 
 
@@ -223,6 +270,7 @@ def _spectrum_chi2_fleet_kernel(
     *,
     iters,
     mm_passes,
+    recip,
 ):
     """Fleet variant: per-row median ranks / counts (targets are padded)."""
     model = _dot_f32(Wc_ref[:], D_ref[0], mm_passes)
@@ -248,20 +296,20 @@ def _spectrum_chi2_fleet_kernel(
     inv_n = meta_f_ref[:, 1][:, None]
     model = model * (med_data / med)
 
-    frac = data_ref[0] / model
+    frac = _div(data_ref[0], model, recip)
     Vp = VpinvT_ref[0]
     c0 = jnp.sum(frac * Vp[0][None, :], axis=1, keepdims=True)
     c1 = jnp.sum(frac * Vp[1][None, :], axis=1, keepdims=True)
     c2 = jnp.sum(frac * Vp[2][None, :], axis=1, keepdims=True)
     VT = VT_ref[0]
     fitted = c0 * VT[0][None, :] + c1 * VT[1][None, :] + c2 * VT[2][None, :]
-    data_renorm = data_ref[0] / fitted
+    data_renorm = _div(data_ref[0], fitted, recip)
     resid = (model - data_renorm) * inv_err_ref[0]  # padded: *0 -> 0
     out_ref[:] = jnp.sum(resid * resid, axis=1, keepdims=True) * inv_n
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret", "iters",
-                                              "mm_passes"))
+                                              "mm_passes", "recip"))
 def spectrum_chi2_fleet(
     Wcomb,  # [ntgt, nw, NO]
     av,  # [ntgt, nw]
@@ -277,6 +325,7 @@ def spectrum_chi2_fleet(
     interpret: bool = False,
     iters: int | None = None,
     mm_passes: int | None = None,
+    recip: int | None = None,
 ):
     """Fleet spectrum chi^2: per-target D/data blocks, per-row median ranks.
 
@@ -297,6 +346,8 @@ def spectrum_chi2_fleet(
         from mcmc_spec_tpu.utils.flags import matmul_passes
 
         mm_passes = matmul_passes()
+    if recip is None:
+        recip = _recip_newton()
     ntgt, nw, NO = Wcomb.shape
     nd = D.shape[2]
     cap = 256 if nd > 3000 else 512
@@ -328,7 +379,7 @@ def spectrum_chi2_fleet(
 
     out = pl.pallas_call(
         functools.partial(_spectrum_chi2_fleet_kernel, iters=iters,
-                          mm_passes=mm_passes),
+                          mm_passes=mm_passes, recip=recip),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=(ntgt * bpt,),
@@ -364,11 +415,12 @@ def spectrum_chi2_fleet(
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret", "iters",
-                                              "mm_passes", "renorm"))
+                                              "mm_passes", "renorm", "recip"))
 def spectrum_chi2(
     Wcomb, av, D_flat, ext_k_data, data_flux, data_err, V, Vpinv, med_data,
     block: int = 512, interpret: bool = False, iters: int | None = None,
     mm_passes: int | None = None, renorm: bool = True,
+    recip: int | None = None,
 ):
     """Fused per-walker spectrum chi^2 (mean over data points).
 
@@ -397,6 +449,8 @@ def spectrum_chi2(
         from mcmc_spec_tpu.utils.flags import matmul_passes
 
         mm_passes = matmul_passes()
+    if recip is None:
+        recip = _recip_newton()
     NW, NO = Wcomb.shape
     nd = D_flat.shape[1]
     cap = 256 if nd > 3000 else 512  # keep ~4 block-sized temporaries in VMEM
@@ -416,7 +470,7 @@ def spectrum_chi2(
 
     out = pl.pallas_call(
         functools.partial(_spectrum_chi2_kernel, iters=iters,
-                          mm_passes=mm_passes, renorm=renorm),
+                          mm_passes=mm_passes, renorm=renorm, recip=recip),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
@@ -520,6 +574,7 @@ def _posterior_kernel(
     median_iters,
     rad_sigma,
     mm_passes,
+    recip,
 ):
     p = p_ref[:]
     n = nspec
@@ -601,6 +656,7 @@ def _posterior_kernel(
         chi_spec = _spectrum_block(
             Wcomb, av, D_ref[:], kd_ref[:], data_ref[:], inv_err_ref[:],
             VpinvT_ref[:], VT_ref[:], med_data, median_iters, mm_passes,
+            recip=recip,
         )
     else:
         chi_spec = jnp.zeros_like(chi_c)
@@ -720,6 +776,7 @@ def log_posterior_fused(p, tgt, block: int = 0, interpret: bool = False):
         median_iters=med_iters,
         rad_sigma=getattr(tgt, "rad_sigma_frac", 0.02),
         mm_passes=getattr(tgt, "matmul_passes", 0) or _matmul_passes(),
+        recip=_resolve_recip(tgt),
     )
     nc, npf = tgt.cmag.shape[0], tgt.pmag.shape[0]
     nm = tgt.mist_teff_nodes.shape[0]
@@ -821,6 +878,7 @@ def _fleet_posterior_kernel(
     median_iters,
     rad_sigma,
     mm_passes,
+    recip,
 ):
     p = p_ref[:]
     n = nspec
@@ -913,14 +971,14 @@ def _fleet_posterior_kernel(
             x2 = jnp.where(cnt1 >= r2b, x1, jnp.min(bigger, axis=1, keepdims=True))
             med = 0.5 * (x1 + x2)
         model = model * (med_data / med)
-        frac = data_ref[0] / model
+        frac = _div(data_ref[0], model, recip)
         Vp = VpinvT_ref[0]
         c0 = jnp.sum(frac * Vp[0][None, :], axis=1, keepdims=True)
         c1 = jnp.sum(frac * Vp[1][None, :], axis=1, keepdims=True)
         c2 = jnp.sum(frac * Vp[2][None, :], axis=1, keepdims=True)
         VT = VT_ref[0]
         fitted = c0 * VT[0][None, :] + c1 * VT[1][None, :] + c2 * VT[2][None, :]
-        data_renorm = data_ref[0] / fitted
+        data_renorm = _div(data_ref[0], fitted, recip)
         resid = (model - data_renorm) * ierr_ref[0]  # padded: *0 -> 0
         chi_spec = jnp.sum(resid * resid, axis=1, keepdims=True) * inv_n
     else:
@@ -1050,6 +1108,7 @@ def log_posterior_fleet_fused(params, fleet, block: int = 0,
         median_iters=getattr(fleet, "median_iters", 0) or _median_iters(),
         rad_sigma=getattr(fleet, "rad_sigma_frac", 0.02),
         mm_passes=getattr(fleet, "matmul_passes", 0) or _matmul_passes(),
+        recip=_resolve_recip(fleet),
     )
     nc, npf = fleet.cmag.shape[1], fleet.pmag.shape[1]
     nm = fleet.mist_teff_nodes.shape[1]

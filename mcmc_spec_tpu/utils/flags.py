@@ -94,6 +94,33 @@ def median_iters() -> int:
     return n
 
 
+def recip_newton() -> int:
+    """Newton steps of the in-kernel magic-seed reciprocal: DEFAULT 2.
+
+    The spectrum continuum renorm divides twice per [walkers, nd] element
+    (``frac = data/model``, ``data_renorm = data/fitted``).  Mosaic's
+    ``arith.divf`` lowering measured ~4.5-8% of the whole spectrum kernel;
+    replacing both divides with the classic integer-magic reciprocal seed
+    (``bitcast(0x7EF311C3 - bitcast(x))``) plus 2 Newton steps is
+    consistently faster and changes chi^2 by <= 8.6e-6 relative
+    (scripts/try_fast_recip.py) — ~30x below the accepted bf16x3 matmul
+    envelope, so 2-Newton is the production default.
+    ``MCMC_SPEC_FAST_RECIP=exact`` (or ``0``) restores true divides (the
+    parity suites pin it); ``1``/``3`` select other Newton depths (1 is
+    ~2.7e-3 relative and measured NO faster than 2 — diagnostic only).
+    Resolved at pack time (``PackedTarget.recip_newton``; -1 = unset).
+    """
+    raw = os.environ.get("MCMC_SPEC_FAST_RECIP", "")
+    if not raw:
+        return 2
+    if raw.lower() == "exact":
+        return 0
+    n = int(raw)
+    if not 0 <= n <= 3:
+        raise ValueError(f"MCMC_SPEC_FAST_RECIP={raw!r}: use 'exact' or 0..3")
+    return n
+
+
 def eval_block() -> int:
     """Fused-kernel walker block size (``MCMC_SPEC_EVAL_BLOCK``, default 256).
 

@@ -16,6 +16,9 @@ os.environ.setdefault("MCMC_SPEC_FAST_MEDIAN", "exact")
 # same for the bf16x3 matmul default (measured impact <= 0.006 sigma,
 # scripts/matmul_passes_impact.py): parity suites pin the ~2.5e-7 bf16x6 mode
 os.environ.setdefault("MCMC_SPEC_MATMUL_PASSES", "exact")
+# same for the 2-Newton renorm reciprocal default (<= 8.6e-6 relative chi^2,
+# scripts/try_fast_recip.py): parity suites pin true divides
+os.environ.setdefault("MCMC_SPEC_FAST_RECIP", "exact")
 
 import jax  # noqa: E402
 

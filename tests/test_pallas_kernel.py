@@ -515,6 +515,84 @@ class TestMatmulPassesDial:
         assert not np.array_equal(three[fin], six[fin])
 
 
+class TestFastRecipDial:
+    """Magic-seed + Newton reciprocal for the two renorm divides
+    (MCMC_SPEC_FAST_RECIP; 2 = production default, measured 1.045-1.08x in
+    the spectrum kernel at <= 8.6e-6 relative chi^2 —
+    scripts/try_fast_recip.py; 'exact' = true divides, pinned by the
+    parity suites via conftest)."""
+
+    def test_env_resolution(self, monkeypatch):
+        from mcmc_spec_tpu.utils.flags import recip_newton
+
+        monkeypatch.delenv("MCMC_SPEC_FAST_RECIP", raising=False)
+        assert recip_newton() == 2
+        monkeypatch.setenv("MCMC_SPEC_FAST_RECIP", "exact")
+        assert recip_newton() == 0
+        monkeypatch.setenv("MCMC_SPEC_FAST_RECIP", "1")
+        assert recip_newton() == 1
+        monkeypatch.setenv("MCMC_SPEC_FAST_RECIP", "5")
+        with pytest.raises(ValueError):
+            recip_newton()
+
+    def test_pack_stamps_recip(self, monkeypatch):
+        from mcmc_spec_tpu.inference.target import pack_target
+
+        st, _ = make_setup(dtype=jnp.float32)
+
+        def pack():
+            return pack_target(
+                st["grid"], st["data_wl_um"], st["data_flux"], st["data_err"],
+                st["cfilts"], st["cmag"], st["cerr"], st["pfilts"], st["zps"],
+                st["pmag"], st["perr"], st["mist"], st["av_profile"],
+                nspec=2, dtype=jnp.float32,
+            )
+
+        monkeypatch.setenv("MCMC_SPEC_FAST_RECIP", "exact")
+        assert pack().recip_newton == 0
+        monkeypatch.delenv("MCMC_SPEC_FAST_RECIP", raising=False)
+        assert pack().recip_newton == 2
+
+    def test_recip2_accuracy_envelope(self):
+        """2-Newton reciprocal vs true divide through the fused kernel
+        (interpret mode reproduces the same arithmetic): bounded well below
+        the accepted bf16x3 matmul envelope, and demonstrably reaching the
+        kernel (not bit-identical)."""
+        import dataclasses
+
+        from mcmc_spec_tpu.ops.pallas_kernels import log_posterior_fused
+
+        st, tgt = make_setup(dtype=jnp.float32)
+        rng = np.random.RandomState(11)
+        P = jnp.asarray(
+            np.stack([st["p_truth"] * (1 + 0.02 * rng.randn(6)) for _ in range(16)]),
+            jnp.float32,
+        )
+        exact = np.asarray(log_posterior_fused(
+            P, dataclasses.replace(tgt, recip_newton=0), interpret=True))
+        fast = np.asarray(log_posterior_fused(
+            P, dataclasses.replace(tgt, recip_newton=2), interpret=True))
+        fin = np.isfinite(exact)
+        assert fin.any()
+        rel = np.abs(fast[fin] - exact[fin]) / np.maximum(np.abs(exact[fin]), 1e-9)
+        assert rel.max() < 1e-4, rel.max()
+        assert not np.array_equal(fast[fin], exact[fin])
+
+    def test_fast_recip_helper_values(self):
+        """The helper itself: 2-Newton relative error ~1e-5 over 6 decades
+        of positive f32 magnitudes (the renorm denominators are positive
+        model fluxes / fitted continua of order the data scale)."""
+        from mcmc_spec_tpu.ops.pallas_kernels import _fast_recip
+
+        x = jnp.asarray(
+            np.logspace(-3, 3, 4096) * (1.0 + 0.5 * np.sin(np.arange(4096))),
+            jnp.float32,
+        )
+        r = np.asarray(_fast_recip(x, 2), np.float64)
+        rel = np.abs(r * np.asarray(x, np.float64) - 1.0)
+        assert rel.max() < 5e-5, rel.max()
+
+
 class TestAnnealerKernelMode:
     """spectrum_chi2(renorm=False) — the annealer's median-only scoring
     through the Pallas kernel (stage 1 measured 3.6 s on the XLA fallback
@@ -550,9 +628,10 @@ class TestAnnealerKernelMode:
 
 class TestProductionDialComboEnvelope:
     """The SHIPPED default combination (16-pass midpoint median + bf16x3
-    matmul) vs fully-exact arithmetic through the fused kernel: the combined
-    log-posterior deviation stays within the documented ~2e-3 envelope, and
-    the -inf support is identical (dials must never flip prior bounds)."""
+    matmul + 2-Newton renorm reciprocal) vs fully-exact arithmetic through
+    the fused kernel: the combined log-posterior deviation stays within the
+    documented ~2e-3 envelope, and the -inf support is identical (dials
+    must never flip prior bounds)."""
 
     def test_combined_defaults_vs_exact(self):
         import dataclasses
@@ -567,10 +646,12 @@ class TestProductionDialComboEnvelope:
             jnp.float32,
         )
         exact = np.asarray(log_posterior_fused(
-            P, dataclasses.replace(tgt, median_iters=31, matmul_passes=6),
+            P, dataclasses.replace(tgt, median_iters=31, matmul_passes=6,
+                                   recip_newton=0),
             interpret=True))
         prod = np.asarray(log_posterior_fused(
-            P, dataclasses.replace(tgt, median_iters=16, matmul_passes=3),
+            P, dataclasses.replace(tgt, median_iters=16, matmul_passes=3,
+                                   recip_newton=2),
             interpret=True))
         np.testing.assert_array_equal(np.isfinite(prod), np.isfinite(exact))
         fin = np.isfinite(exact)

@@ -74,14 +74,21 @@ def _fast_recip(x, newton: int):
     """Integer-magic reciprocal seed + Newton refinement (f32).
 
     ``bitcast(0x7EF311C3 - bitcast(x))`` approximates 1/x to ~4% for normal
-    positive f32; each Newton step ``r*(2-x*r)`` squares the relative error
+    f32; each Newton step ``r*(2-x*r)`` squares the relative error
     (2 steps ~1e-5).  Costs ~1+3n vector ops vs Mosaic's ``arith.divf``
     lowering, and measured consistently FASTER at n=2 in the full spectrum
     kernel (scripts/try_fast_recip.py: 1.045-1.08x; n=1 was NOT faster than
-    n=2 and is diagnostic only).  Degenerate denominators degrade the same
-    way the divide does: x=0 overflows to inf within two steps, negative or
-    non-finite x yields junk/NaN chi^2, and the posterior's NaN -> -inf
-    handling rejects the walker either way.
+    n=2 and is diagnostic only).
+
+    NEGATIVE x is handled correctly for free: int32 subtraction wraps
+    (two's complement), and ``-0x80000000 == +0x80000000 (mod 2^32)``
+    carries the sign bit through the magic subtraction intact — the seed
+    for ``-x`` is exactly ``-seed(x)`` (pinned by
+    tests/test_pallas_kernel.py with negative denominators; real spectra
+    can dip negative from noise, so ``frac``/``fitted`` may too).
+    Non-finite or zero denominators degrade the same way the divide does:
+    the result overflows/NaNs and the posterior's NaN -> -inf handling
+    rejects the walker either way.
     """
     xi = jax.lax.bitcast_convert_type(x, jnp.int32)
     r = jax.lax.bitcast_convert_type(jnp.int32(_RECIP_MAGIC) - xi, jnp.float32)

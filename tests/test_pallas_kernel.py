@@ -580,17 +580,18 @@ class TestFastRecipDial:
 
     def test_fast_recip_helper_values(self):
         """The helper itself: 2-Newton relative error ~1e-5 over 6 decades
-        of positive f32 magnitudes (the renorm denominators are positive
-        model fluxes / fitted continua of order the data scale)."""
+        of f32 magnitudes, BOTH signs — noise-dipped data can make
+        ``frac``/``fitted`` locally negative, and the int32 wraparound of
+        the magic subtraction must carry the sign bit through (see the
+        helper docstring)."""
         from mcmc_spec_tpu.ops.pallas_kernels import _fast_recip
 
-        x = jnp.asarray(
-            np.logspace(-3, 3, 4096) * (1.0 + 0.5 * np.sin(np.arange(4096))),
-            jnp.float32,
-        )
+        mags = np.logspace(-3, 3, 2048) * (1.0 + 0.5 * np.sin(np.arange(2048)))
+        x = jnp.asarray(np.concatenate([mags, -mags]), jnp.float32)
         r = np.asarray(_fast_recip(x, 2), np.float64)
         rel = np.abs(r * np.asarray(x, np.float64) - 1.0)
         assert rel.max() < 5e-5, rel.max()
+        assert np.all(np.sign(r) == np.sign(np.asarray(x, np.float64)))
 
 
 class TestAnnealerKernelMode:

@@ -197,7 +197,7 @@ def run_fleet_mcmc(
     store = results_io.ChainStore(cfgs[0].dirname, name="fleet_chain_chunks")
     config_tag = ("fleet:" + ",".join(cfg.fname for cfg in cfgs)
                   + f":{ntgt}x{nw}x{p0.shape[2]}:{nsteps}:{nburn}"
-                  + f":{cfgs[0].seed}:{cfgs[0].spectrum_weight}")
+                  + f":{cfgs[0].seed}:{cfgs[0].spectrum_weight}:{nthin}")
     start_chunk = 0
     prior_chain = None
 
@@ -252,8 +252,12 @@ def run_fleet_mcmc(
         for t, cfg in enumerate(cfgs):
             results_io.dump_coords(cfg.dirname, cfg.fname, n * nthin, chain[-1, t],
                                    stage="results")
-        if checkpoint_every and (n + 1) % checkpoint_every == 0:
+        # every chunk reaches the store; checkpoint_every only paces the
+        # state snapshot (a cadence > 1 must not leave store gaps — see
+        # ChainStore.load_upto's contiguity guard)
+        if checkpoint_every:
             store.append(n, chain)
+        if checkpoint_every and (n + 1) % checkpoint_every == 0:
             results_io.save_checkpoint(results_io.Checkpoint(
                 np.asarray(jax.device_get(state.coords)),
                 np.asarray(jax.device_get(state.log_prob)),

@@ -27,35 +27,36 @@ def autocorr_func_1d(x: np.ndarray) -> np.ndarray:
     return acf
 
 
-def integrated_time(chain: np.ndarray, c: float = 5.0,
-                    max_walkers: int = 0) -> np.ndarray:
+def integrated_time(chain: np.ndarray, c: float = 5.0) -> np.ndarray:
     """tau per parameter for ``chain [nsteps, nwalkers, ndim]``.
 
     The per-walker autocorrelation FFTs run BATCHED over the walker axis
     (the round-2 per-walker Python loop cost 24k numpy FFT calls per check
     at production fleet scale — 4096 walkers x 6 params — on this 1-core
-    box).  ``max_walkers > 0`` additionally subsamples the walker axis for
-    the estimate: emcee's estimator averages per-walker ACFs, so a few
-    hundred walkers already give a far tighter tau than the reference's own
-    50-walker ensemble, and the gate cost stays flat as ensembles scale.
+    box), but looped over the (small) parameter axis with real-input
+    rfft/irfft: the chain is real, so full complex FFTs doubled the work,
+    and materializing [2n, nw, ndim] complex128 temporaries reached GB
+    scale per convergence check at 15k-step production chains.  Per-dim
+    rfft bounds the transient to ~(n+1) x nw complex.  (Both production
+    callers additionally cap nw at 256 walkers before calling — emcee's
+    estimator walker-averages, so a few hundred walkers already beat the
+    reference's own 50-walker ensemble statistically.)
     """
     chain = np.asarray(chain)
     if chain.ndim == 2:
         chain = chain[:, :, None]
-    if max_walkers and chain.shape[1] > max_walkers:
-        chain = chain[:, :max_walkers]
     nsteps, nw, ndim = chain.shape
     n = _next_pow_two(nsteps)
     x = np.asarray(chain, dtype=np.float64)
     x = x - x.mean(axis=0, keepdims=True)
-    f = np.fft.fft(x, n=2 * n, axis=0)
-    acf = np.fft.ifft(f * np.conjugate(f), axis=0)[:nsteps].real  # [n, nw, ndim]
-    norm = acf[0].copy()
-    norm[norm == 0] = 1.0
-    acf = (acf / norm).mean(axis=1)  # walker-averaged, [nsteps, ndim]
     taus = np.empty(ndim)
     for d in range(ndim):
-        taus_m = 2.0 * np.cumsum(acf[:, d]) - 1.0
+        f = np.fft.rfft(x[:, :, d], n=2 * n, axis=0)
+        acf = np.fft.irfft(np.abs(f) ** 2, n=2 * n, axis=0)[:nsteps]  # [n, nw]
+        norm = acf[0].copy()
+        norm[norm == 0] = 1.0
+        acf = (acf / norm).mean(axis=1)  # walker-averaged, [nsteps]
+        taus_m = 2.0 * np.cumsum(acf) - 1.0
         window = _auto_window(taus_m, c)
         taus[d] = taus_m[window]
     return taus

@@ -36,7 +36,11 @@ def write_samples(dirname: str, samples: np.ndarray):
     try:
         import pandas as pd
 
-        pd.DataFrame(arr).to_csv(path, sep=" ", header=False, index=False)
+        # na_rep: to_csv writes NaN as an EMPTY field by default, which
+        # np.genfromtxt reads as a short row ("got N columns instead of M");
+        # np.savetxt wrote 'nan', so match it for diverged-walker rows
+        pd.DataFrame(arr).to_csv(path, sep=" ", header=False, index=False,
+                                 na_rep="nan")
     except ImportError:
         np.savetxt(path, arr)
 
@@ -125,11 +129,18 @@ class ChainStore:
         return ids
 
     def load_upto(self, n_chunks: Optional[int] = None) -> Optional[np.ndarray]:
-        """Concatenate chunks 0..n_chunks-1 (all when None); None if empty."""
+        """Concatenate chunks 0..n_chunks-1 (all when None); None if empty
+        OR if any chunk in the range is missing — a gap means the store and
+        the checkpoint disagree, and concatenating the subset would silently
+        drop part of the pre-crash chain (the resume guards treat None as
+        "history unavailable" and restart loudly)."""
         ids = self.chunk_ids()
         if n_chunks is not None:
             ids = [i for i in ids if i < n_chunks]
         if not ids:
+            return None
+        want = n_chunks if n_chunks is not None else len(ids)
+        if ids != list(range(want)):
             return None
         return np.concatenate([np.load(self._chunk_path(i)) for i in ids], axis=0)
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import re
 import time
 from typing import Optional
 
@@ -97,6 +98,10 @@ def build_grid(cfg: FitConfig, data_window, cache: bool = True) -> SpectralGrid:
     lgrange = (4.0, 5.5)  # main hardcodes [4, 5.5] (mft6.py:3512)
     stem = (f"grid_{cfg.models}_{cfg.tmin}_{cfg.tmax}_{cfg.specmin}_"
             f"{cfg.specmax}_{cfg.res}")
+    # a non-default --grid-dir must key the cache too, or two runs against
+    # different model directories would silently reuse each other's fluxes
+    if getattr(cfg, "grid_dir", None):
+        stem += "_" + re.sub(r"[^A-Za-z0-9._-]", "_", cfg.grid_dir)
     legacy_path = os.path.join(cfg.dirname, stem + ".npz")
     cache_path = os.path.join(
         ".grid_cache", f"{stem}_{data_window[0]:g}_{data_window[1]:g}.npz")
@@ -186,7 +191,10 @@ def setup_context(
         cfg.ra, cfg.dec, cfg.av, cfg.av_err, dist_pc=dist_pc, table_path=av_table,
         # bundled assets/av_los fixture discovery: the koi id appears in
         # dirname ("koi2298") or the data filename; fname is bare ("2298")
-        target_name=f"{cfg.dirname} {cfg.filename} koi{cfg.fname}",
+        # authoritative fname token FIRST: bundled_table takes the first
+        # koi<digits> match, and a dirname like 'fits_koi2298_batch' must
+        # not shadow the actual target id
+        target_name=f"koi{cfg.fname} {cfg.filename} {cfg.dirname}",
     )
 
     ndim = cfg.ndim
@@ -410,9 +418,11 @@ def run_mcmc_stage(
     ckpt_path = os.path.join(cfg.dirname, "chain_checkpoint.npz")
     store = results_io.ChainStore(cfg.dirname)
     start_chunk = 0
-    # a checkpoint only resumes the run it belongs to
+    # a checkpoint only resumes the run it belongs to (nthin included:
+    # chunk ids count thinned chunks, so a different nthin would
+    # mis-reconstruct the chain rather than fail the shape checks)
     config_tag = (f"{cfg.fname}:{cfg.nspec}:{p0.shape[0]}x{p0.shape[1]}:"
-                  f"{cfg.nsteps}:{cfg.seed}:{cfg.spectrum_weight}")
+                  f"{cfg.nsteps}:{cfg.seed}:{cfg.spectrum_weight}:{nthin}")
 
     ckpt = results_io.maybe_load_checkpoint(ckpt_path) if resume else None
     prior_chain = None
@@ -467,8 +477,12 @@ def run_mcmc_stage(
         n_done += nthin
         results_io.dump_coords(cfg.dirname, cfg.fname, n * nthin, chain[-1],
                                stage="results")
-        if checkpoint_every and (n + 1) % checkpoint_every == 0:
+        # every chunk reaches the store (O(chunk) append); the
+        # checkpoint_every cadence governs only the sampler-state snapshot —
+        # otherwise a cadence > 1 would leave gaps that a resume cannot fill
+        if checkpoint_every:
             store.append(n, chain)
+        if checkpoint_every and (n + 1) % checkpoint_every == 0:
             results_io.save_checkpoint(results_io.Checkpoint(
                 driver.coords(state), driver.log_prob(state),
                 np.asarray(state.key), n_done, int(state.n_accept),

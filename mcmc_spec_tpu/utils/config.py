@@ -49,9 +49,12 @@ def parse_param_file(path: str) -> dict:
             if line.startswith("#") or line == "":
                 continue
             fields = line.split(" ")
-            if len(fields) < 2 or fields[1] == "" or fields[1].startswith("#"):
+            # first non-empty token after the key: runs of spaces (e.g.
+            # hand-aligned 'nsteps  5000') must not silently drop the line
+            val = next((f for f in fields[1:] if f != ""), "")
+            if val == "" or val.startswith("#"):
                 continue
-            pardict[str(fields[0])] = fields[1].strip()
+            pardict[str(fields[0])] = val.strip()
     return pardict
 
 

@@ -193,6 +193,54 @@ class TestShardedMcmcStage:
         np.testing.assert_allclose(s_resumed, s_full, rtol=1e-12)
         assert not os.path.exists("fit0_interrupted/chain_checkpoint.npz")
 
+    def test_resume_with_sparse_checkpoint_cadence(self, fleet_fixture,
+                                                   monkeypatch):
+        """checkpoint_every=2 must still resume bit-identically: every chunk
+        reaches the store regardless of the snapshot cadence (a cadence > 1
+        used to leave store gaps that a resume silently concatenated
+        around, dropping half the pre-crash chain)."""
+        from mcmc_spec_tpu import pipeline
+        from mcmc_spec_tpu.pipeline import run_mcmc_stage, setup_context
+        from mcmc_spec_tpu.utils.config import FitConfig
+
+        p0 = fleet_fixture["p0"]
+
+        def make_ctx(dirname):
+            cfg = FitConfig.from_file(fleet_fixture["parfiles"][0])
+            cfg.dirname = dirname
+            cfg.nsteps = 200
+            return setup_context(cfg, dtype=jnp.float64)
+
+        s_full = run_mcmc_stage(make_ctx("fitck2_uninterrupted"), p0=p0,
+                                nthin=50, check_convergence=False,
+                                resume=False, checkpoint_every=2)
+
+        # crash during chunk 4's dump: 3 chunks written, last snapshot at
+        # chunk 2 (step 100) -- chunks 0..2 must ALL be in the store
+        ctx = make_ctx("fitck2_interrupted")
+        real_dump = pipeline.results_io.dump_coords
+        calls = {"n": 0}
+
+        def exploding_dump(dirname, fname, step, coords, stage="results"):
+            if stage == "results":
+                calls["n"] += 1
+                if calls["n"] == 4:
+                    raise RuntimeError("simulated crash")
+            return real_dump(dirname, fname, step, coords, stage=stage)
+
+        monkeypatch.setattr(pipeline.results_io, "dump_coords", exploding_dump)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            run_mcmc_stage(ctx, p0=p0, nthin=50, check_convergence=False,
+                           resume=False, checkpoint_every=2)
+        monkeypatch.setattr(pipeline.results_io, "dump_coords", real_dump)
+
+        from mcmc_spec_tpu.io.results import ChainStore
+        assert ChainStore("fitck2_interrupted").chunk_ids() == [0, 1, 2]
+        s_resumed = run_mcmc_stage(make_ctx("fitck2_interrupted"), p0=p0,
+                                   nthin=50, check_convergence=False,
+                                   resume=True, checkpoint_every=2)
+        np.testing.assert_allclose(s_resumed, s_full, rtol=1e-12)
+
     def test_fleet_pipeline_artifacts(self, fleet_fixture):
         """Fleet over two padded targets writes both artifact sets; medians ok."""
         from mcmc_spec_tpu.fleet_pipeline import run_fleet

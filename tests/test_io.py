@@ -81,8 +81,12 @@ class TestResultsArtifacts:
         np.testing.assert_allclose(c2, chis)
 
         samples = np.random.randn(100, 6)
-        write_samples(d, samples)
-        np.testing.assert_allclose(read_samples(d), samples, rtol=1e-6)
+        samples[7, 3] = np.nan  # diverged walker: must round-trip, not
+        write_samples(d, samples)  # produce a short row (pandas na_rep)
+        back = read_samples(d)
+        assert back.shape == (100, 6) and np.isnan(back[7, 3])
+        fin = np.isfinite(samples)
+        np.testing.assert_allclose(back[fin], samples[fin], rtol=1e-6)
 
         # reference tools read these with np.genfromtxt — verify
         via_ref = np.genfromtxt(os.path.join(d, "samples.txt"))
@@ -93,6 +97,23 @@ class TestResultsArtifacts:
         write_walker_traces(d, tp, tc)
         w0 = np.genfromtxt(os.path.join(d, "params0.txt"))
         assert w0.shape == (5, 6)
+
+    def test_chain_store_contiguity(self, tmp_path):
+        """load_upto must refuse a gapped store: concatenating a subset
+        would silently drop part of the pre-crash chain (the resume guards
+        treat None as 'history unavailable' and restart loudly)."""
+        from mcmc_spec_tpu.io.results import ChainStore
+
+        store = ChainStore(str(tmp_path))
+        c = np.random.randn(4, 8, 6)
+        store.append(0, c)
+        store.append(1, c + 1)
+        np.testing.assert_allclose(
+            store.load_upto(2), np.concatenate([c, c + 1], axis=0))
+        store.append(3, c + 3)  # gap: chunk 2 never written
+        assert store.load_upto(4) is None
+        assert store.load_upto() is None
+        assert store.load_upto(2) is not None  # prefix before the gap is fine
 
 
 @pytest.mark.skipif(not HAVE_BPS, reason="bps unavailable")

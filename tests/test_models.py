@@ -470,6 +470,15 @@ class TestAvLosFixtures:
             # reference sigma floor respected
             assert np.all(p.av_sig >= 0.05 - 1e-12)
 
+    def test_first_koi_token_wins(self):
+        """The pipeline composes 'koi{fname} {filename} {dirname}' with the
+        authoritative id FIRST — a dirname mentioning another KOI must not
+        shadow the target's own fixture."""
+        from mcmc_spec_tpu.models.dust import bundled_table
+
+        path = bundled_table("koi1422 Data/koi1422_HET.txt fits_koi2298_batch")
+        assert path is not None and path.endswith("koi1422.txt")
+
     def test_for_target_hits_bundled_fixture(self, capsys):
         prof = AvProfile.for_target(288.456118, 45.802226, 0.106,
                                     dist_pc=482.0,

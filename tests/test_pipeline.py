@@ -198,3 +198,34 @@ class TestSharedGridCache:
         # broadening bakes it into the fluxes) -> distinct cache entry
         g3 = build_grid(cfg, (6500.0, 8300.0))
         assert not np.array_equal(g1.flux, g3.flux)
+
+    def test_grid_cache_keys_on_grid_dir(self, tmp_path, monkeypatch):
+        """Two runs against DIFFERENT model directories (--grid-dir) must
+        not reuse each other's cached fluxes."""
+        from mcmc_spec_tpu.models.synthetic import synthetic_spectrum
+        from mcmc_spec_tpu.pipeline import build_grid
+        from mcmc_spec_tpu.utils.config import FitConfig
+
+        monkeypatch.chdir(tmp_path)
+        wl = np.arange(5900.0, 9100.0, 1.0)
+        for name, scale in (("gridA", 1.0), ("gridB", 2.0)):
+            d = tmp_path / name
+            d.mkdir()
+            for t in (30, 34):
+                for g in ("4.5", "5.0"):
+                    flux = scale * synthetic_spectrum(wl, t * 100.0, float(g))
+                    np.savetxt(d / f"lte0{t}-{g}-0.0a+0.0.BT-Settl.spec.7.txt",
+                               np.column_stack([wl, flux]))
+
+        cfg = FitConfig()
+        cfg.models = "btsettl"
+        cfg.tmin, cfg.tmax = 2000, 6000
+        cfg.specmin, cfg.specmax = 6000, 9000
+        cfg.res = 1700
+        cfg.dirname = "tgt_a"
+        cfg.grid_dir = str(tmp_path / "gridA")
+        gA = build_grid(cfg, (6450.0, 8400.0))
+        cfg.grid_dir = str(tmp_path / "gridB")
+        gB = build_grid(cfg, (6450.0, 8400.0))
+        assert not np.array_equal(gA.flux, gB.flux)
+        np.testing.assert_allclose(gB.flux, 2.0 * gA.flux, rtol=1e-6)

@@ -89,10 +89,12 @@ class TestConfigParserRobustness:
             b"rad_prior f\n"
             b"plx 2e-3\n"
             b"nwalk 16\n"
+            b"nsteps  5000\n"          # run of spaces (hand-aligned file)
         )
         cfg = FitConfig.from_file(str(path))
         assert cfg.models == "synthetic"
         assert cfg.res == 1700 and cfg.tmin == 3000 and cfg.tmax == 5600
+        assert cfg.nsteps == 5000  # must not be silently dropped to default
         assert cfg.cmag == [1.5, 2.5] and cfg.cfilt == ["lp600", "Kp"]
         assert cfg.mask is True and cfg.rad_prior is False
         assert abs(cfg.plx - 2e-3) < 1e-12 and cfg.nwalk == 16

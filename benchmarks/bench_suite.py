@@ -119,12 +119,107 @@ def bench_evals(tgt, truth):
     }
 
 
+def bench_nospec(tgt, truth):
+    """Config 4: mft6_nospec.py mode — spectrum term dropped (photometry +
+    contrast + priors only, the 1/100-capped plx bound).  The eval is no
+    longer kernel-bound, so throughput is ensemble-mechanics-limited."""
+    import dataclasses
+
+    tgt_ns = dataclasses.replace(tgt, spectrum_weight=0.0)
+    nw, nsteps = 32768, 512
+    logp = lambda b: log_posterior_batch(b, tgt_ns)
+    coords = init_walker_batch(tgt_ns, truth, nw, DTYPE)
+    state = init_ensemble(coords, logp, jax.random.PRNGKey(0))
+    s, c, _ = run_ensemble(state, logp, n_steps=nsteps, thin=nsteps)
+    jax.block_until_ready(c)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        s, c, _ = run_ensemble(s, logp, n_steps=nsteps, thin=nsteps)
+    jax.block_until_ready(c)
+    dt = time.perf_counter() - t0
+    return {
+        "metric": "nospec_evals_per_sec",
+        "value": round(3 * nsteps * nw / dt, 1),
+        "unit": "evals/s (spectrum_weight=0, 32k walkers)",
+    }
+
+
+def bench_single_gj544b(*_):
+    """Config 1: single-star chi^2 fit of the real Data/GJ544B.ascii
+    spectrum (windowed to the HET band) against a synthetic grid —
+    ndim-4 [T, Av, R, plx] chain at production walker counts."""
+    import os
+
+    from mcmc_spec_tpu.inference.target import pack_target
+    from mcmc_spec_tpu.models.dust import AvProfile
+    from mcmc_spec_tpu.models.mist import MistTable
+    from mcmc_spec_tpu.models.synthetic import synthetic_grid
+    from mcmc_spec_tpu.ops.photometry import ab_zero_flux, photon_flux_weights
+
+    path = os.environ.get("MCMC_SPEC_GJ544B",
+                          "/root/reference/Data/GJ544B.ascii")
+    if not os.path.exists(path):
+        return {"metric": "single_star_chain_wall_clock", "value": None,
+                "unit": "skipped: GJ544B.ascii unavailable"}
+    raw = np.genfromtxt(path)
+    wl_um, flux = raw[:, 0], raw[:, 1]
+    sel = (wl_um > 0.645) & (wl_um < 0.84)
+    wl_um, flux = wl_um[sel], np.maximum(flux[sel], 0.0)
+    med = np.median(flux[flux > 0])
+    flux = flux / med
+    err = 0.01 * np.maximum(flux, 0.05)
+
+    grid = synthetic_grid(
+        specrange=(5000.0, 12000.0), data_window=(6450.0, 8400.0),
+        resolution=1700, temps=np.arange(3000.0, 5801.0, 400.0),
+        loggs=np.array([4.5, 5.0, 5.5]), step=2.0,
+    )
+    from tests.helpers import gaussian_filter_curve
+
+    pfilts = [gaussian_filter_curve("p_i", 7700.0, 350.0)]
+    _, lp = photon_flux_weights(grid.wl, pfilts[0].wl, pfilts[0].tr)
+    prior_mu, prior_sig = np.zeros(4), np.ones(4)
+    prior_mu[-1], prior_sig[-1] = 5e-2, 1e-2
+    tgt = pack_target(
+        grid, wl_um, flux, err, [], np.zeros(0), np.zeros(0),
+        pfilts, [ab_zero_flux(lp)], np.array([10.0]), np.array([0.2]),
+        MistTable.builtin(), AvProfile.constant(0.05, 0.05),
+        nspec=1, prior_mu=prior_mu, prior_sig=prior_sig, dtype=DTYPE,
+    )
+    nw, nburn, nsteps = 50, 301, 15001  # the reference chain schedule
+    logp = lambda b: log_posterior_batch(b, tgt)
+    key = jax.random.PRNGKey(0)
+    base = jnp.asarray([4000.0, 0.1, 0.3, 5e-2], DTYPE)
+    scale = jnp.asarray([100.0, 0.02, 0.02, 1e-3], DTYPE)
+    coords = base + scale * jax.random.normal(key, (nw, 4), DTYPE)
+    state = init_ensemble(coords, logp, jax.random.PRNGKey(1))
+    s, c, _ = run_ensemble(state, logp, n_steps=nburn, thin=nburn)
+    jax.block_until_ready(c)
+    s, c, _ = run_ensemble(state, logp, n_steps=nsteps, thin=100)
+    jax.block_until_ready(c)
+    t0 = time.perf_counter()
+    s, c, _ = run_ensemble(state, logp, n_steps=nburn, thin=nburn)
+    s, c, _ = run_ensemble(s, logp, n_steps=nsteps, thin=100)
+    jax.block_until_ready(c)
+    dt = time.perf_counter() - t0
+    return {
+        "metric": "single_star_chain_wall_clock",
+        "value": round(dt, 3),
+        "unit": f"s (GJ544B, {wl_um.size} px, 301 burn + 15001 steps, "
+                f"50 walkers)",
+    }
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     tgt, truth = build_bench_target(DTYPE)
     benches = {"chain": bench_chain, "fleet": bench_fleet,
-               "anneal": bench_anneal, "evals": bench_evals}
-    names = benches if which == "all" else {which: benches[which]}
+               "anneal": bench_anneal, "evals": bench_evals,
+               "nospec": bench_nospec, "single": bench_single_gj544b}
+    if which == "all":
+        names = benches
+    else:
+        names = {w: benches[w] for w in sys.argv[1:]}
     for name, fn in names.items():
         print(json.dumps(fn(tgt, truth)), flush=True)
 

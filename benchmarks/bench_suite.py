@@ -10,8 +10,11 @@ Covers the BASELINE.md workload configs on real hardware:
 * ``anneal`` — stage 1: 150 walkers x 50*400 annealing schedule wall-clock
   (the reference runs this on a 15-process pool for hours).
 * ``evals``  — same metric as bench.py (headline).
+* ``nospec`` — config 4: the mft6_nospec.py mode (spectrum term dropped).
+* ``single`` — config 1: real ``Data/GJ544B.ascii`` single-star ndim-4
+  chain at the reference's 50-walker 301+15001 schedule.
 
-Usage: python benchmarks/bench_suite.py [chain|fleet|anneal|evals|all]
+Usage: python benchmarks/bench_suite.py [chain|fleet|anneal|evals|nospec|single|all]
 """
 import json
 import sys

@@ -183,16 +183,14 @@ def _chi2_terms_batch(p, tgt: PackedTarget, spec_mult, chi_spec=None,
         # emcee-stage likelihood, renorm=False the annealer's median-only
         # chi^2 (the round-3 XLA-only annealer fallback measured 3.6 s vs
         # ~1 s for the same schedule through the kernel)
-        from mcmc_spec_tpu.ops.pallas_kernels import spectrum_chi2
+        from mcmc_spec_tpu.ops.pallas_kernels import resolve_dials, spectrum_chi2
 
+        it, mm, rn = resolve_dials(tgt)  # pack-time statics (no env reads)
         nT, nG, nd = tgt.D.shape
         chi_spec = spectrum_chi2(
             Wcomb, av, tgt.D.reshape(nT * nG, nd), tgt.ext_k_data,
             tgt.data_flux, tgt.data_err, tgt.V, tgt.Vpinv, tgt.med_data,
-            iters=tgt.median_iters or None,  # pack-time dials; 0 = env fallback
-            mm_passes=tgt.matmul_passes or None,
-            recip=tgt.recip_newton if tgt.recip_newton >= 0 else None,
-            renorm=renorm,
+            iters=it, mm_passes=mm, recip=rn, renorm=renorm,
         )
     elif renorm:
         chi_spec = _spec_chi2_xla(Wcomb, av, tgt)

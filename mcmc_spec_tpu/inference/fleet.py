@@ -67,18 +67,20 @@ def log_posterior_fleet(params, fleet: PackedTarget):
         )
 
     if fleet.spectrum_weight != 0.0 and use_pallas_spectrum(params.dtype):
-        from mcmc_spec_tpu.ops.pallas_kernels import spectrum_chi2_fleet
+        from mcmc_spec_tpu.ops.pallas_kernels import (
+            resolve_dials,
+            spectrum_chi2_fleet,
+        )
 
         _, _, _, _, Wcomb = jax.vmap(batched._forward_small)(params, fleet)
         av = params[..., fleet.nspec]
+        it, mm, rn = resolve_dials(fleet)  # pack-time statics (no env reads)
         ntgt, nT, nG, nd = fleet.D.shape
         chi_spec = spectrum_chi2_fleet(
             Wcomb, av, fleet.D.reshape(ntgt, nT * nG, nd), fleet.ext_k_data,
             fleet.data_flux, fleet.data_err, fleet.V, fleet.Vpinv,
             fleet.med_data, fleet.n_data_true,
-            iters=fleet.median_iters or None,  # pack-time dials; 0 = env fallback
-            mm_passes=fleet.matmul_passes or None,
-            recip=fleet.recip_newton if fleet.recip_newton >= 0 else None,
+            iters=it, mm_passes=mm, recip=rn,
         )
         return jax.vmap(
             lambda p, t, cs: log_posterior_batch(p, t, chi_spec=cs)

@@ -110,10 +110,11 @@ class PackedTarget:
     n_phot_true: Any  # scalar int
 
     # --- kernel tuning, resolved ONCE at pack time from the env dials
-    # (``MCMC_SPEC_FAST_MEDIAN`` / ``MCMC_SPEC_EVAL_BLOCK``) and threaded to
-    # the Pallas kernels as static arguments.  0 = unset: the kernels fall
-    # back to trace-time env resolution, which is silently stale once the
-    # jit cache holds an entry for the shapes (the round-2 footgun).
+    # (``MCMC_SPEC_FAST_MEDIAN`` / ``MCMC_SPEC_EVAL_BLOCK`` / ...) and
+    # threaded to the Pallas kernels as static arguments.  0 (-1 for
+    # recip_newton) = unset: the kernels RAISE on unset accuracy dials
+    # (``pallas_kernels.resolve_dials``) — the round-2 footgun was a silent
+    # trace-time env fallback, removed in round 4.
     median_iters: int = 0
     eval_block: int = 0
     # bf16 pass count of the in-kernel f32-emulating MXU matmul (3 default,

@@ -34,37 +34,51 @@ LN10_04 = -0.4 * 2.302585092994046  # -0.4 * ln(10)
 _F32_INF_BITS = 0x7F800000
 
 
-def _median_iters() -> int:
-    """Trace-time fallback for callers that don't thread an explicit pass
-    count; production paths thread ``PackedTarget.median_iters`` (resolved at
-    pack time) instead.  See :func:`mcmc_spec_tpu.utils.flags.median_iters`
-    for the accuracy-dial semantics."""
-    from mcmc_spec_tpu.utils.flags import median_iters
+def resolve_dials(tgt) -> tuple:
+    """(median_iters, matmul_passes, recip_newton) pack-time statics off a
+    PackedTarget.
 
-    return median_iters()
-
-
-def _matmul_passes() -> int:
-    """Trace-time fallback mirroring :func:`_median_iters`."""
-    from mcmc_spec_tpu.utils.flags import matmul_passes
-
-    return matmul_passes()
-
-
-def _recip_newton() -> int:
-    """Trace-time fallback mirroring :func:`_median_iters`."""
-    from mcmc_spec_tpu.utils.flags import recip_newton
-
-    return recip_newton()
-
-
-def _resolve_recip(tgt) -> int:
-    """Pack-time recip dial off a PackedTarget; -1/absent = env fallback.
-
-    0 is a VALID stamped value here (exact divide), so the unset sentinel
-    is -1 rather than the 0 the other dials use."""
+    The accuracy dials are resolved EXACTLY ONCE, at target-pack time
+    (``pack_target`` stamps them from :mod:`mcmc_spec_tpu.utils.flags`); the
+    kernels never read the environment at trace time.  A trace-time env read
+    was the round-2 footgun — the jit cache is keyed only on shapes/statics,
+    so flipping the env var mid-process silently did nothing — and round 4
+    removed the fallback entirely: an unset dial raises here instead of
+    quietly resolving the env.  (``recip_newton``'s unset sentinel is -1; 0
+    is a valid stamped value meaning exact divides.)
+    """
+    it = getattr(tgt, "median_iters", 0)
+    mm = getattr(tgt, "matmul_passes", 0)
     rn = getattr(tgt, "recip_newton", -1)
-    return rn if rn >= 0 else _recip_newton()
+    if it <= 0 or mm <= 0 or rn < 0:
+        raise ValueError(
+            "PackedTarget accuracy dials unset "
+            f"(median_iters={it}, matmul_passes={mm}, recip_newton={rn}): "
+            "targets must come from pack_target(), which stamps the dials at "
+            "pack time (utils.flags); the trace-time env fallback was removed "
+            "in round 4 — pass iters/mm_passes/recip explicitly for "
+            "hand-built targets."
+        )
+    return it, mm, rn
+
+
+def _require_dials(iters, mm_passes, recip) -> tuple:
+    """Validate explicitly-threaded kernel dials; None is an error.
+
+    The kernel wrappers used to resolve ``None`` from the environment at
+    trace time (the round-2 footgun, lurking for direct callers after round
+    3 moved production paths to pack-time statics).  Round 4 deleted that
+    path: callers thread the pack-time values (``resolve_dials``) or choose
+    explicitly."""
+    if iters is None or mm_passes is None or recip is None:
+        raise ValueError(
+            "spectrum kernels require explicit accuracy dials "
+            f"(got iters={iters}, mm_passes={mm_passes}, recip={recip}); "
+            "thread PackedTarget's pack-time statics (resolve_dials(tgt)) or "
+            "pass values explicitly — the trace-time env fallback was "
+            "removed in round 4."
+        )
+    return int(iters), int(mm_passes), int(recip)
 
 
 _RECIP_MAGIC = 0x7EF311C3  # optimal-ish 1/x seed constant (Blinn-style)
@@ -140,10 +154,10 @@ def _row_median_nonneg(model, iters: int = 31):
     values trade accuracy for passes: the rank search is within
     ``2^(8-iters)`` relative, plus (for even rows) half the gap between the
     two middle order statistics, whose exact averaging fast mode skips.
-    The 20-pass mode is the production default since round 3: the median
-    only sets the global spectrum scale alpha, and the measured end-to-end
-    posterior impact is <= 0.006 sigma (scripts/fast_median_impact.py) for
-    ~+25%% throughput.
+    The production default pass count lives in ONE place —
+    :func:`mcmc_spec_tpu.utils.flags.median_iters` — with the measured
+    accuracy/throughput receipts; callers thread it via pack-time statics
+    (``PackedTarget.median_iters``).
     """
     nd = model.shape[1]
     r1 = (nd + 1) // 2  # 1-based rank of lower middle
@@ -344,17 +358,10 @@ def spectrum_chi2_fleet(
     scoped VMEM); padding rows carry Wcomb=1 so the bit-pattern median
     search stays on positive values, and their outputs are sliced off.
 
-    ``iters``: radix-median pass count (static; ``None`` resolves the env
-    dial at trace time — production callers thread the pack-time value).
+    ``iters``/``mm_passes``/``recip``: REQUIRED accuracy dials (static);
+    thread the pack-time values (``resolve_dials(fleet)``).
     """
-    if iters is None:
-        iters = _median_iters()
-    if mm_passes is None:
-        from mcmc_spec_tpu.utils.flags import matmul_passes
-
-        mm_passes = matmul_passes()
-    if recip is None:
-        recip = _recip_newton()
+    iters, mm_passes, recip = _require_dials(iters, mm_passes, recip)
     ntgt, nw, NO = Wcomb.shape
     nd = D.shape[2]
     cap = 256 if nd > 3000 else 512
@@ -440,8 +447,8 @@ def spectrum_chi2(
         V: [nd, 3] scaled-domain Vandermonde; Vpinv: [3, nd].
         med_data: scalar median of data_flux.
         block: walkers per grid step (VMEM-resident block).
-        iters: radix-median pass count (static; ``None`` = env dial at trace
-            time; production callers thread ``PackedTarget.median_iters``).
+        iters/mm_passes/recip: REQUIRED accuracy dials (static); thread the
+            pack-time values (``resolve_dials(tgt)``).
     Returns: [NW] mean spectrum chi^2 (unweighted).
 
     Walker batches that aren't a block multiple are padded up to one
@@ -450,14 +457,7 @@ def spectrum_chi2(
     f32 temporaries would overflow the ~16 MB scoped VMEM for large NW.
     Batches at or below the VMEM cap run as a single whole-array block.
     """
-    if iters is None:
-        iters = _median_iters()
-    if mm_passes is None:
-        from mcmc_spec_tpu.utils.flags import matmul_passes
-
-        mm_passes = matmul_passes()
-    if recip is None:
-        recip = _recip_newton()
+    iters, mm_passes, recip = _require_dials(iters, mm_passes, recip)
     NW, NO = Wcomb.shape
     nd = D_flat.shape[1]
     cap = 256 if nd > 3000 else 512  # keep ~4 block-sized temporaries in VMEM
@@ -742,15 +742,12 @@ def log_posterior_fused(p, tgt, block: int = 0, interpret: bool = False):
     nT, nG, nd = tgt.D.shape
     NO = nT * nG
     if block == 0:
-        # pack-time value (PackedTarget.eval_block); 0 = unset -> env dial
-        # at trace time.  256 measured faster than 512 for the fused kernel
-        # (more grid steps to pipeline, lower VMEM residency); the
-        # spectrum-only kernel keeps its measured-best 512
-        block = getattr(tgt, "eval_block", 0)
-    if block == 0:
-        from mcmc_spec_tpu.utils.flags import eval_block
-
-        block = eval_block()
+        # pack-time value (PackedTarget.eval_block); hand-built targets
+        # without one get the documented default (no trace-time env read).
+        # 256 measured faster than 512 for the fused kernel (more grid steps
+        # to pipeline, lower VMEM residency); the spectrum-only kernel keeps
+        # its measured-best 512
+        block = getattr(tgt, "eval_block", 0) or 256
     # v5e scoped VMEM is ~16 MB; the kernel holds ~4 [block, nd] f32
     # temporaries (block=1024 at nd=1792 was measured to OOM at 26.2 MB)
     cap = 512 if nd <= 2048 else (384 if nd <= 3000 else 256)
@@ -772,7 +769,7 @@ def log_posterior_fused(p, tgt, block: int = 0, interpret: bool = False):
     tT = jnp.repeat(_tent_consts(tgt.temps), nG, axis=1)  # [4, NO], o = t*nG+g
     tG = jnp.tile(_tent_consts(tgt.loggs), (1, nT))
 
-    med_iters = getattr(tgt, "median_iters", 0) or _median_iters()
+    med_iters, mm_passes, recip = resolve_dials(tgt)
     kern = functools.partial(
         _posterior_kernel,
         nspec=tgt.nspec,
@@ -782,8 +779,8 @@ def log_posterior_fused(p, tgt, block: int = 0, interpret: bool = False):
         spectrum_weight=tgt.spectrum_weight,
         median_iters=med_iters,
         rad_sigma=getattr(tgt, "rad_sigma_frac", 0.02),
-        mm_passes=getattr(tgt, "matmul_passes", 0) or _matmul_passes(),
-        recip=_resolve_recip(tgt),
+        mm_passes=mm_passes,
+        recip=recip,
     )
     nc, npf = tgt.cmag.shape[0], tgt.pmag.shape[0]
     nm = tgt.mist_teff_nodes.shape[0]
@@ -1058,11 +1055,7 @@ def log_posterior_fleet_fused(params, fleet, block: int = 0,
     nT, nG, nd = fleet.D.shape[1:]
     NO = nT * nG
     if block == 0:
-        block = getattr(fleet, "eval_block", 0)
-    if block == 0:
-        from mcmc_spec_tpu.utils.flags import eval_block
-
-        block = eval_block()
+        block = getattr(fleet, "eval_block", 0) or 256
     cap = 512 if nd <= 2048 else (384 if nd <= 3000 else 256)
     block = min(block, cap)
     # Mosaic requires per-target row blocks divisible by 8 (they never equal
@@ -1105,6 +1098,7 @@ def log_posterior_fleet_fused(params, fleet, block: int = 0,
         (ntgt, nw, 6),
     ).reshape(ntgt * nw, 6)
 
+    med_iters, mm_passes, recip = resolve_dials(fleet)
     kern = functools.partial(
         _fleet_posterior_kernel,
         nspec=fleet.nspec,
@@ -1112,10 +1106,10 @@ def log_posterior_fleet_fused(params, fleet, block: int = 0,
         dist_fit=fleet.dist_fit,
         rad_prior=fleet.rad_prior,
         spectrum_weight=fleet.spectrum_weight,
-        median_iters=getattr(fleet, "median_iters", 0) or _median_iters(),
+        median_iters=med_iters,
         rad_sigma=getattr(fleet, "rad_sigma_frac", 0.02),
-        mm_passes=getattr(fleet, "matmul_passes", 0) or _matmul_passes(),
-        recip=_resolve_recip(fleet),
+        mm_passes=mm_passes,
+        recip=recip,
     )
     nc, npf = fleet.cmag.shape[1], fleet.pmag.shape[1]
     nm = fleet.mist_teff_nodes.shape[1]

@@ -43,14 +43,16 @@ def main():
     t("forward_small", lambda q: batched._forward_small(q, tgt)[0], p)
 
     # kernel alone (with Wcomb/av precomputed)
-    from mcmc_spec_tpu.ops.pallas_kernels import spectrum_chi2
+    from mcmc_spec_tpu.ops.pallas_kernels import resolve_dials, spectrum_chi2
 
     _, _, _, _, Wcomb = batched._forward_small(p, tgt)
     av = p[:, tgt.nspec]
     D_flat = tgt.D.reshape(nT * nG, nd)
+    it, mm, rn = resolve_dials(tgt)
     t("pallas_spectrum_chi2",
       lambda W: spectrum_chi2(W, av, D_flat, tgt.ext_k_data, tgt.data_flux,
-                              tgt.data_err, tgt.V, tgt.Vpinv, tgt.med_data), Wcomb)
+                              tgt.data_err, tgt.V, tgt.Vpinv, tgt.med_data,
+                              iters=it, mm_passes=mm, recip=rn), Wcomb)
 
     # pure matmul cost floor for the same shape (bf16x6 equivalent = HIGHEST)
     t("matmul_only_f32hi",

@@ -8,10 +8,11 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
 # Parity suites validate EXACT np.median semantics against the scalar /
-# emulator references; the production default is the 20-pass fast median
-# (measured posterior impact <= 0.006 sigma — scripts/fast_median_impact.py),
-# whose accuracy envelope has its own dedicated tests (TestFastMedian,
-# TestPackTimeDials set the env explicitly).
+# emulator references; the production default pass count lives in
+# utils/flags.py::median_iters (the single source of truth, with the
+# measured posterior-impact receipts — scripts/fast_median_impact.py).  The
+# fast modes' accuracy envelopes have their own dedicated tests
+# (TestFastMedian, TestPackTimeDials set the env explicitly).
 os.environ.setdefault("MCMC_SPEC_FAST_MEDIAN", "exact")
 # same for the bf16x3 matmul default (measured impact <= 0.006 sigma,
 # scripts/matmul_passes_impact.py): parity suites pin the ~2.5e-7 bf16x6 mode

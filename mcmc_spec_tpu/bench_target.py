@@ -23,8 +23,13 @@ def _gaussian_filter(name, center, width, n=256):
     return FilterCurve(name=name, wl=wl, tr=np.exp(-0.5 * ((wl - center) / width) ** 2))
 
 
-def build_bench_target(dtype, nd=1792, grid_step=1.0, nspec=2, seed=0):
-    """(PackedTarget, truth params). Deterministic."""
+def build_bench_target(dtype, nd=1792, grid_step=1.0, nspec=2, seed=0,
+                       pad_nd=None, pad_nc=None):
+    """(PackedTarget, truth params). Deterministic.
+
+    ``pad_nd``/``pad_nc`` thread through to ``pack_target`` (inert fleet
+    padding) so on-device shape sweeps can build padded fleet members
+    without the test fixtures (scripts/tpu_validation.py)."""
     import jax.numpy as jnp  # noqa: F401
 
     rng = np.random.RandomState(seed)
@@ -87,6 +92,7 @@ def build_bench_target(dtype, nd=1792, grid_step=1.0, nspec=2, seed=0):
         mist=mist, av_profile=AvProfile.constant(0.12, 0.05),
         nspec=nspec, dist_fit=True, rad_prior=False,
         prior_mu=prior_mu, prior_sig=prior_sig, dtype=dtype,
+        pad_nd=pad_nd, pad_nc=pad_nc,
     )
     # fill observed contrasts/photometry from the packed forward at truth
     import jax
@@ -98,7 +104,8 @@ def build_bench_target(dtype, nd=1792, grid_step=1.0, nspec=2, seed=0):
 
     tgt = dataclasses.replace(
         tgt,
-        cmag=out.contrasts + jnp.asarray(rng.normal(0, 0.02, len(cfilts)), dtype=dtype),
+        cmag=out.contrasts
+        + jnp.asarray(rng.normal(0, 0.02, out.contrasts.shape[-1]), dtype=dtype),
         pmag=out.phot_mags + jnp.asarray(rng.normal(0, 0.02, len(pfilts)), dtype=dtype),
     )
     return tgt, p

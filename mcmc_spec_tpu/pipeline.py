@@ -260,6 +260,7 @@ def make_synthetic_observation(
     out_path: Optional[str] = None,
     noise_frac: float = 0.01,
     seed: int = 0,
+    av: float = 0.0,
 ):
     """Synthetic composite observation with noise (reference mft6.py:3599-3642).
 
@@ -267,14 +268,22 @@ def make_synthetic_observation(
     wavelength grid, adds ``noise_frac`` Gaussian noise, and writes the
     3-column ``Data/synth_spec_{T1}_{T2}[_{T3}].txt``-style file.  Returns
     (wl_um, flux, err) and the true parameter vector.
+
+    ``av``: optional CCM89 extinction applied to the composite (the
+    reference's generator wrote unextincted fixtures; a nonzero truth keeps
+    recovery tests away from the Av >= 0 prior boundary).
     """
+    from mcmc_spec_tpu.ops.extinction import ccm89
     from mcmc_spec_tpu.report.composite import composite_full
 
     teffs = list(teffs)
     ratios = list(np.atleast_1d(ratios))
-    p = np.array(teffs + [0.0, rad1] + ratios + [plx])
+    p = np.array(teffs + [av, rad1] + ratios + [plx])
     w, comp, _ = composite_full(ctx.grid, ctx.mist, p, nspec=len(teffs))
     flux = np.interp(ctx.data_wl_um * 1e4, w, comp)
+    if av > 0:
+        flux = flux * 10.0 ** (
+            -0.4 * av * np.asarray(ccm89(ctx.data_wl_um * 1e4, 1.0)))
     rng = np.random.RandomState(seed)
     err = rng.normal(0, noise_frac * flux)
     if out_path is None:

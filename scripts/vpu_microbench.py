@@ -159,6 +159,31 @@ def main():
           f"{ceil*per_pass/elems/3:.2f}x; bench.py receipts updated with the "
           f"measured equivalents")
 
+    # --- E: overdetermine the 2-parameter model (VERDICT r3 next #5) --------
+    # f(k) = rest + k*per_pass was calibrated on exactly two points (k=31,20),
+    # which a 2-parameter model always "reproduces".  Falsifiable test: the
+    # SAME parameters must predict (i) additional pass counts at the same
+    # shape with no refit, and (ii) a different data width after pure
+    # per-element scaling (residual there measures the non-nd-scaling share
+    # of `rest`: per-block overhead + photometry/prior matmuls).
+    print("\n[E] overdetermination (no refit):", flush=True)
+    for k in (16, 12):
+        fk = fused_eval_time(tgt, coords, k)
+        pred = rest + k * fpp
+        print(f"    fused k={k} nd={nd}: measured {fk*1e3:.2f} ms, "
+              f"model {pred*1e3:.2f} ms, residual "
+              f"{100*(fk-pred)/fk:+.1f}%", flush=True)
+    nd2 = 896
+    tgt2, truth2 = build_bench_target(jnp.float32, nd=nd2)
+    coords2 = init_walker_batch(tgt2, truth2, NW, jnp.float32)
+    for k in (31, 16):
+        fk = fused_eval_time(tgt2, coords2, k)
+        pred = (rest + k * fpp) * (nd2 / nd)
+        print(f"    fused k={k} nd={nd2}: measured {fk*1e3:.2f} ms, "
+              f"per-element-scaled model {pred*1e3:.2f} ms, residual "
+              f"{100*(fk-pred)/fk:+.1f}% (the non-nd-scaling share of rest)",
+              flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -82,6 +82,10 @@ def main(argv=None):
             noplots=noplots,
             dtype=dtype,
             mesh=mesh,
+            # production-memory mode: the chain streams to samples.txt and
+            # reports re-read per target — peak RSS is one chunk, not the
+            # full fleet chain (the CLI discards the return value anyway)
+            return_samples=False,
         )
         return
 

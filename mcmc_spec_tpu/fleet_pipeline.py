@@ -351,8 +351,16 @@ def run_fleet(
     dtype=jnp.float32,
     nthin: int = 100,
     mesh="auto",
+    return_samples: bool = True,
 ) -> list:
-    """Full fleet run: N param files -> per-target reference artifact sets."""
+    """Full fleet run: N param files -> per-target reference artifact sets.
+
+    ``return_samples=False`` is the production-memory mode: the chain
+    streams to the per-target ``samples.txt`` files (peak = one chunk), the
+    report stage reads each target's file back and frees it before the next
+    (the reference's own plot stage runs entirely from ``samples.txt``,
+    mft6.py:1531), and only the contexts are returned.
+    """
     ctxs = setup_fleet(parfiles, dtype=dtype)
 
     def plot_ctx(ctx):
@@ -371,14 +379,19 @@ def run_fleet(
 
             for ctx in ctxs:
                 plot_fit(plot_ctx(ctx))
-    samples = None
-    if emcee:
-        samples = run_fleet_mcmc(ctxs, nthin=nthin, mesh=mesh)
-        if not noplots:
-            from mcmc_spec_tpu.report.plots import plot_corner, plot_results
+    if not emcee:
+        return ctxs
+    samples = run_fleet_mcmc(ctxs, nthin=nthin, mesh=mesh,
+                             return_samples=return_samples)
+    if not noplots:
+        from mcmc_spec_tpu.report.plots import plot_corner, plot_results
 
-            for ctx, s in zip(ctxs, samples):
-                pctx = plot_ctx(ctx)
-                plot_corner(pctx, s)
-                plot_results(pctx, s)
-    return ctxs if samples is None else list(zip(ctxs, samples))
+        for t, ctx in enumerate(ctxs):
+            # one target's chain in RAM at a time in the streaming mode
+            s = (samples[t] if return_samples
+                 else results_io.read_samples(ctx.cfg.dirname))
+            pctx = plot_ctx(ctx)
+            plot_corner(pctx, s)
+            plot_results(pctx, s)
+            del s
+    return list(zip(ctxs, samples)) if return_samples else ctxs

@@ -84,8 +84,11 @@ def read_samples(dirname: str) -> np.ndarray:
     try:
         import pandas as pd
 
-        return pd.read_csv(path, sep=r"\s+", header=None,
-                           dtype=np.float64).to_numpy()
+        # float_precision: pandas' default parser (xstrtod) is NOT
+        # round-trip accurate; "round_trip" matches np.genfromtxt (the
+        # reference tooling's reader) bit for bit
+        return pd.read_csv(path, sep=r"\s+", header=None, dtype=np.float64,
+                           float_precision="round_trip").to_numpy()
     except ImportError:
         return np.genfromtxt(path)
 

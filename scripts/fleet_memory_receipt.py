@@ -41,12 +41,11 @@ NTHIN, NTGT, NDIM = 100, 9, 6
 def _build_store(root, n_chunks, nw, seed=0):
     from mcmc_spec_tpu.io.results import ChainStore
 
-    store = ChainStore(root, name=f"chunks_{n_chunks}_{nw}")
+    store = ChainStore(root, name=f"chunks_{nw}")
     rng = np.random.RandomState(seed)
     base = rng.rand(NTHIN, NTGT, nw, NDIM).astype(np.float32)
     for i in range(n_chunks):
-        # cheap variation; values don't matter for the memory measurement
-        store.append(i, base * (1.0 + 1e-6 * i))
+        store.append(i, base)  # values don't matter for the memory receipt
     return store
 
 
@@ -55,13 +54,16 @@ def _run_child(mode, root, n_chunks, nw):
     mark; reusing a process would carry the previous run's peak)."""
     code = f"""
 import json, os, resource, sys, time
+os.environ["JAX_PLATFORMS"] = "cpu"  # the writer is pure host code; do not
+import jax                            # touch the axon/TPU backend here
+jax.config.update("jax_platforms", "cpu")
 import numpy as np
 sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
 from mcmc_spec_tpu.io.results import ChainStore
 from mcmc_spec_tpu.fleet_pipeline import stream_fleet_samples
 
 root = {root!r}
-store = ChainStore(root, name="chunks_{n_chunks}_{nw}")
+store = ChainStore(root, name="chunks_{nw}")
 dirnames = []
 for t in range({NTGT}):
     d = os.path.join(root, "out_{mode}_{n_chunks}_{nw}", f"tgt{{t}}")
@@ -99,7 +101,7 @@ def main():
             rec = _run_child("new", work, n_chunks, 4096)
             print(rec, flush=True)
             results.append(rec)
-        shutil.rmtree(os.path.join(work, "chunks_150_4096"))
+        shutil.rmtree(os.path.join(work, "chunks_4096"))
         for d in os.listdir(work):
             if d.startswith("out_new"):
                 shutil.rmtree(os.path.join(work, d))

@@ -258,6 +258,11 @@ class TestShardedMcmcStage:
             sig = samples.std(axis=0) + 1e-12
             for i in range(6):
                 assert abs(med[i] - truth[i]) < 5 * sig[i], (d, i, med[i], truth[i])
+            # the streamed samples.txt round-trips bit-identically — the
+            # production return_samples=False mode reports from this file
+            from mcmc_spec_tpu.io.results import read_samples
+
+            np.testing.assert_array_equal(read_samples(d), samples)
 
     def test_fleet_mesh_resolution(self):
         from mcmc_spec_tpu.fleet_pipeline import resolve_fleet_mesh

@@ -114,6 +114,47 @@ class TestResultsArtifacts:
         assert store.load_upto(4) is None
         assert store.load_upto() is None
         assert store.load_upto(2) is not None  # prefix before the gap is fine
+        # streamed access obeys the same contract
+        assert store.has_chunks(2) and not store.has_chunks(4)
+        got = np.concatenate(list(store.iter_chunks(2)), axis=0)
+        np.testing.assert_allclose(got, np.concatenate([c, c + 1], axis=0))
+        with pytest.raises(ValueError, match="missing chunks"):
+            list(store.iter_chunks(4))
+
+    def test_stream_fleet_samples(self, tmp_path):
+        """The streamed per-target writer emits byte-identical samples.txt
+        to write_samples on the concatenated chain, and its returned arrays
+        match the old hold-all path."""
+        from mcmc_spec_tpu.fleet_pipeline import stream_fleet_samples
+        from mcmc_spec_tpu.io.results import ChainStore, read_samples, write_samples
+
+        rng = np.random.RandomState(2)
+        chunks = [rng.randn(5, 3, 8, 6).astype(np.float32) for _ in range(4)]
+        chunks[1][2, 1, 3, 2] = np.nan  # diverged walker must round-trip
+        store = ChainStore(str(tmp_path))
+        for i, ch in enumerate(chunks):
+            store.append(i, ch)
+        dirnames = []
+        for t in range(3):
+            d = str(tmp_path / f"tgt{t}")
+            os.makedirs(d)
+            dirnames.append(d)
+        out = stream_fleet_samples(store, dirnames, 4, 6, return_samples=True)
+        full = np.concatenate(chunks, axis=0)
+        for t, d in enumerate(dirnames):
+            want = full[:, t].reshape(-1, 6)
+            np.testing.assert_array_equal(out[t], want)
+            ref_dir = str(tmp_path / f"ref{t}")
+            os.makedirs(ref_dir)
+            write_samples(ref_dir, want)
+            assert (open(os.path.join(d, "samples.txt"), "rb").read()
+                    == open(os.path.join(ref_dir, "samples.txt"), "rb").read())
+            got = read_samples(d)
+            fin = np.isfinite(want)
+            np.testing.assert_array_equal(np.isfinite(got), fin)
+            np.testing.assert_array_equal(got[fin].astype(np.float32), want[fin])
+        assert stream_fleet_samples(store, dirnames, 4, 6,
+                                    return_samples=False) is None
 
 
 @pytest.mark.skipif(not HAVE_BPS, reason="bps unavailable")

@@ -84,7 +84,8 @@ def main():
                                 recip_newton=2)
         logp = lambda b: log_posterior_batch(b, t)
         st2 = init_ensemble(eq, logp, jax.random.PRNGKey(11))
-        st2, _, _ = run_ensemble(st2, logp, n_steps=64, thin=64)  # compile+warm
+        # warm with the SAME static args (n_steps/thin retrace; CLAUDE.md)
+        st2, _, _ = run_ensemble(st2, logp, n_steps=512, thin=512)
         jax.block_until_ready(st2.coords)
         t0 = time.perf_counter()
         st3, _, _ = run_ensemble(st2, logp, n_steps=512, thin=512)

@@ -32,9 +32,9 @@ from mcmc_spec_tpu.inference.fleet import (
 from mcmc_spec_tpu.io import results as results_io
 from mcmc_spec_tpu.io.spectra import load_data_spectrum
 from mcmc_spec_tpu.pipeline import (
-    ACL_GATE_GROWTH,
     FitContext,
     _resolve,
+    next_acl_gate,
     run_optimize_stage,
     seed_from_optimize,
     setup_context,
@@ -329,7 +329,7 @@ def run_fleet_mcmc(
             if all_conv:
                 break
             old_taus = taus_t
-            next_gate = max(n + 2, int(round((n + 1) * ACL_GATE_GROWTH)))
+            next_gate = next_acl_gate(n + 1)
 
     af = float(state.n_accept) / (ntgt * nw * max(n_done, 1))
     print(f"Mean acceptance fraction: {af:.3f}")

@@ -39,10 +39,23 @@ from mcmc_spec_tpu.models.mist import MistTable
 from mcmc_spec_tpu.utils.config import FitConfig
 
 # Geometric growth factor of the autocorrelation-gate check interval (emcee's
-# own pattern: check when the chain has grown by a constant factor).  Gates
-# land at chunks 1, 2, 3, 4, 5, 7, 9, 12, 16, ... so early stops stay
-# responsive while total gate traffic is O(n) instead of O(n^2).
+# own pattern: check when the chain has grown by a constant factor).  Early
+# stops stay responsive while total gate traffic is O(n) instead of O(n^2).
 ACL_GATE_GROWTH = 1.3
+
+
+def next_acl_gate(n_chunks_done: int, growth: float = ACL_GATE_GROWTH) -> int:
+    """Chunk count at which the next autocorrelation gate fires.
+
+    Shared by ``run_mcmc_stage`` and ``run_fleet_mcmc`` so the cadence is
+    pinned in one place: after a gate at ``g`` chunks the next fires at
+    ``max(g + 1, round(g * growth))`` — gates land at chunks 1, 2, 3, 4, 5,
+    6, 8, 10, 13, 17, 22, ... (banker's rounding; 18 gates over a 150-chunk
+    config-5 run vs 150 per-chunk, each over a chain ``growth``× longer than
+    the last — O(n) total estimator traffic).  Pinned by
+    ``tests/test_pipeline.py::TestAclGateSchedule``.
+    """
+    return max(n_chunks_done + 1, int(round(n_chunks_done * growth)))
 
 
 @dataclasses.dataclass
@@ -517,7 +530,7 @@ def run_mcmc_stage(
             if converged(taus, n_done, old_taus):
                 break
             old_taus = taus
-            next_gate = max(n + 2, int(round((n + 1) * ACL_GATE_GROWTH)))
+            next_gate = next_acl_gate(n + 1)
 
     nw = p0.shape[0]
     af = float(state.n_accept) / (nw * max(n_done, 1))

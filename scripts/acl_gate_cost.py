@@ -27,7 +27,7 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 from mcmc_spec_tpu.inference.autocorr import integrated_time
-from mcmc_spec_tpu.pipeline import ACL_GATE_GROWTH
+from mcmc_spec_tpu.pipeline import next_acl_gate
 
 
 def run(chunks, gated):
@@ -40,7 +40,7 @@ def run(chunks, gated):
         integrated_time(np.concatenate(acl_kept, axis=0))
         t_total += time.perf_counter() - t0
         n_gates += 1
-        next_gate = max(n + 2, int(round((n + 1) * ACL_GATE_GROWTH)))
+        next_gate = next_acl_gate(n + 1)
     return t_total, n_gates
 
 

@@ -64,6 +64,13 @@ def main(argv=None):
             "[-e True|False] [--nospec] [--mesh auto|off]"
         )
 
+    # before the first dispatch: repeat runs of the same config skip the
+    # 30-60 s/program remote compiles entirely (MCMC_SPEC_COMPILE_CACHE=0
+    # opts out)
+    from mcmc_spec_tpu.utils.flags import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+
     cfgs = [FitConfig.from_file(p) for p in parfiles]
     if nospec:
         for cfg in cfgs:

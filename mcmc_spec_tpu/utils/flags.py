@@ -152,3 +152,38 @@ def matmul_passes() -> int:
     if n not in (1, 3, 6):
         raise ValueError(f"MCMC_SPEC_MATMUL_PASSES={raw!r}: use 3, 6, or 'exact'")
     return n
+
+
+def enable_persistent_compile_cache(path: str = None) -> "str | None":
+    """Turn on JAX's persistent compilation cache (``MCMC_SPEC_COMPILE_CACHE``).
+
+    Production fits are compile-dominated through the remote-compile tunnel
+    (the measured koi2298 run spent most of its 18 min in first-time
+    compiles, benchmarks/RESULTS.md); the persistent cache makes every
+    repeat run of the same shapes skip them entirely.  Values:
+    unset/``1``/``auto`` — cache under ``~/.cache/mcmc_spec_tpu/xla``;
+    ``0``/``off`` — disabled; anything else — used as the cache directory.
+    Returns the cache dir, or None when disabled/unsupported.  Idempotent;
+    called by the CLI before the first dispatch.  (JAX's own
+    ``JAX_COMPILATION_CACHE_DIR`` env var works too — this flag just gives
+    the framework a default-on path with one switch.)
+    """
+    raw = os.environ.get("MCMC_SPEC_COMPILE_CACHE", "auto")
+    if raw.lower() in ("0", "off", ""):
+        return None
+    if path is None:
+        path = (raw if raw.lower() not in ("1", "auto")
+                else os.path.join(os.path.expanduser("~"), ".cache",
+                                  "mcmc_spec_tpu", "xla"))
+    import jax
+
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # trivial host-callback programs churn the cache for no win; the
+        # spectrum/sampler programs all compile in >> 1 s over the tunnel
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except (OSError, AttributeError, ValueError) as e:
+        print(f"[cache] persistent compilation cache unavailable: {e}")
+        return None
+    return path

@@ -64,6 +64,27 @@ class TestFlags:
         # auto on CPU/float64 -> False
         assert not use_pallas_spectrum(jnp.float64)
 
+    def test_persistent_compile_cache(self, tmp_path, monkeypatch):
+        import os
+
+        import jax
+
+        from mcmc_spec_tpu.utils.flags import enable_persistent_compile_cache
+
+        prev = jax.config.jax_compilation_cache_dir
+        try:
+            # explicit directory via the env value
+            cache = str(tmp_path / "xla-cache")
+            monkeypatch.setenv("MCMC_SPEC_COMPILE_CACHE", cache)
+            assert enable_persistent_compile_cache() == cache
+            assert os.path.isdir(cache)
+            assert jax.config.jax_compilation_cache_dir == cache
+            # opt-out
+            monkeypatch.setenv("MCMC_SPEC_COMPILE_CACHE", "0")
+            assert enable_persistent_compile_cache() is None
+        finally:
+            jax.config.update("jax_compilation_cache_dir", prev)
+
 
 class TestConfigParserRobustness:
     """Adversarial param-file variants beyond the verbatim koi2298 fixture:

@@ -24,7 +24,7 @@ unachievable and made the round-2 receipts disagree), and against it the
 fused kernel runs at ~100%% — one median pass costs 1.37 ns marginal per
 eval (~1.1 multiply-equivalents/element), i.e. the kernel is at the
 constructible silicon limit; remaining levers are op-count reductions
-(the 16-pass midpoint median and the 2-Newton renorm reciprocal are the
+(the 14-pass midpoint median and the 2-Newton renorm reciprocal are the
 shipped ones) and MXU/VPU overlap.
 """
 import json
@@ -118,23 +118,25 @@ def main():
 
     dtype = jnp.float32
     tgt, truth = build_bench_target(dtype)
-    # headline: the production defaults (16-pass midpoint median + bf16x3
+    # headline: the production defaults (14-pass midpoint median + bf16x3
     # matmul + 2-Newton renorm reciprocal, each with a measured accuracy
-    # receipt -- scripts/fast_median_impact.py, matmul_passes_impact.py,
+    # receipt -- the round-4 structural tempering bound
+    # [scripts/median_tempering_bound_cpu.py: shift bound 0.027 sigma @ 14]
+    # plus scripts/fast_median_impact.py, matmul_passes_impact.py,
     # try_fast_recip.py); the fully-exact mode is reported alongside for
     # continuity with the round-1/2 headlines.
-    tgt_fast = dataclasses.replace(tgt, median_iters=16, matmul_passes=3,
+    tgt_fast = dataclasses.replace(tgt, median_iters=14, matmul_passes=3,
                                    recip_newton=2)
     tgt_exact = dataclasses.replace(tgt, median_iters=31, matmul_passes=6,
                                     recip_newton=0)
     rate = _measure(tgt_fast, truth, dtype)
     rate_exact = _measure(tgt_exact, truth, dtype)
 
-    mxu_logical, mxu_executed, vpu_ops = _flop_accounting(tgt, iters=16)
+    mxu_logical, mxu_executed, vpu_ops = _flop_accounting(tgt, iters=14)
     mfu = rate * mxu_executed / PEAK_MXU_BF16
     vpu_util = rate * vpu_ops / MEASURED_VPU_CEILING
     print(
-        f"[receipts] {rate/1e6:.2f}M evals/s (16-pass default; exact "
+        f"[receipts] {rate/1e6:.2f}M evals/s (14-pass default; exact "
         f"{rate_exact/1e6:.2f}M) | "
         f"MXU: {rate*mxu_logical/1e12:.3f} TFLOP/s logical, "
         f"{rate*mxu_executed/1e12:.2f} TFLOP/s executed (bf16x3, K padded to 128) "

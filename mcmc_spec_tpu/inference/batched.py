@@ -325,7 +325,19 @@ def optimizer_chi2_batch(p, tgt: PackedTarget, rad_sigma=None):
     n = tgt.nspec
     teffs, av, r1, ratios, plx = _unpack_batch(p, tgt)
     # fit_spec scores the median-matched model vs RAW data (no continuum
-    # renorm, mft6.py:1007-1014) with the x3 spectrum weight
+    # renorm, mft6.py:1007-1014) with the x3 spectrum weight.  That scoring
+    # has NO alpha^2 protection — a k-pass median error perturbs the
+    # residual directly (measured std 0.40 / max 1.27 weighted-chi units at
+    # k=16 over an equilibrated ensemble,
+    # scripts/median_tempering_bound_cpu.py) — so stage 1 always scores
+    # with the EXACT median regardless of the production dial; only the
+    # emcee-stage (renorm) path, where the tempering bound applies, keeps
+    # it.  Static meta swap: no runtime cost beyond the per-pass kernel
+    # work in a stage that is ~1 s total.
+    if tgt.median_iters not in (0, 31):
+        import dataclasses
+
+        tgt = dataclasses.replace(tgt, median_iters=31)
     cs = chi2_total_batch(p, tgt, spec_mult=3.0, renorm=False)
 
     if tgt.fit_plx:

@@ -63,27 +63,33 @@ def fused_eval_forced() -> bool:
 
 
 def median_iters() -> int:
-    """Radix-median pass count: DEFAULT 16 (fast), 31 = exact.
+    """Radix-median pass count: DEFAULT 14 (fast), 31 = exact.
 
     ``MCMC_SPEC_FAST_MEDIAN`` is an accuracy dial: any integer in [8, 31]
     selects that pass count (``31``/``exact`` = np.median-identical; ``1``
-    is a legacy alias for 20).  16 passes is the production default since
-    round 3: fast modes return the MIDPOINT of the remaining rank-search
-    interval (halved, sign-free error), and the measured end-to-end
-    posterior impact on the koi2298-shaped synthetic-truth fit is <= 0.003
-    of the posterior sigma on every parameter
-    (scripts/fast_median_impact.py, benchmarks/RESULTS.md) for ~+10%
-    sampler throughput over the 20-pass mode (itself +25% over exact); the
-    residual spectrum-scale error is ~2e-3 relative worst-case.  Resolved
-    ONCE at target-pack time (``pack_target``
-    -> ``PackedTarget.median_iters``) and threaded into the kernels as a
-    static argument, so flipping the env var mid-process takes effect on
-    the next pack, not silently never (the round-2 footgun: the kernels
-    read the env at trace time and the jit cache is keyed only on shapes).
+    is a legacy alias for 20).  14 passes is the production default since
+    round 4, adopted on the STRUCTURAL tempering bound: on the emcee
+    (renorm) path a relative median error eps is exactly a (1+eps)^-2
+    reweighting of the spectrum chi^2 (the alpha^2 factorization, PARITY.md,
+    pinned bit-for-bit by ``TestAlphaSquaredFactorization``), and the
+    Cauchy-Schwarz posterior-shift bound std(dL) measured over an
+    equilibrated production ensemble is 0.027 sigma at 14 passes
+    (0.0068 @ 16, 0.107 @ 12 — scripts/median_tempering_bound_cpu.py,
+    RESULTS.md round-4 decision table); the round-3 identical-RNG fixture
+    fit independently measured <= 0.007 sigma at 14.  The ANNEALER's
+    renorm=False scoring has no such factorization and always uses the
+    exact median regardless of this dial (``optimizer_chi2_batch``).
+    Fast modes return the MIDPOINT of the remaining rank-search interval
+    (halved, sign-free error).  Resolved ONCE at target-pack time
+    (``pack_target`` -> ``PackedTarget.median_iters``) and threaded into
+    the kernels as a static argument, so flipping the env var mid-process
+    takes effect on the next pack, not silently never (the round-2 footgun:
+    the kernels read the env at trace time and the jit cache is keyed only
+    on shapes).
     """
     raw = os.environ.get("MCMC_SPEC_FAST_MEDIAN", "")
     if not raw:
-        return 16
+        return 14
     if raw.lower() == "exact":
         return 31
     n = int(raw)

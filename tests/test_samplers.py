@@ -150,3 +150,35 @@ class TestEndToEndPosterior:
         # posterior medians within 4 sigma-posterior of truth (noisy data)
         for i in range(6):
             assert abs(med[i] - truth[i]) < 4 * sig[i] + 1e-12, (i, med[i], truth[i], sig[i])
+
+
+class TestAnnealerExactMedianPin:
+    """Stage-1 scoring always uses the exact median (round 4): the
+    renorm=False path has no alpha^2 protection, so the fast-median dial
+    must never reach it (scripts/median_tempering_bound_cpu.py measured
+    max 1.27 weighted-chi units of direct error at the 16-pass dial)."""
+
+    def test_optimizer_chi2_swaps_to_exact(self, monkeypatch):
+        import dataclasses
+
+        from mcmc_spec_tpu.inference import batched
+        from tests.helpers import make_setup
+
+        st, tgt = make_setup(dtype=jnp.float64)
+        seen = {}
+        real = batched.chi2_total_batch
+
+        def spy(p, t, **kw):
+            seen["median_iters"] = t.median_iters
+            return real(p, t, **kw)
+
+        monkeypatch.setattr(batched, "chi2_total_batch", spy)
+        p = jnp.asarray(np.stack([st["p_truth"]] * 4), jnp.float64)
+        # production-dialed target: the swap must restore 31 for stage 1
+        fast = dataclasses.replace(tgt, median_iters=14)
+        batched.optimizer_chi2_batch(p, fast)
+        assert seen["median_iters"] == 31
+        # unset (0) stays unset so resolve_dials' loud failure is preserved
+        unset = dataclasses.replace(tgt, median_iters=0)
+        batched.optimizer_chi2_batch(p, unset)
+        assert seen["median_iters"] == 0

@@ -58,7 +58,7 @@ def _time(fn, *args, n=20, warmup=3, reps=3):
 
 def spectrum_chi2_fleet_2d(Wcomb, av, D, ext_k_data, data_flux, data_err,
                            V, Vpinv, med_data, n_data_true,
-                           block=BLOCK, iters=16, mm_passes=3, recip=2):
+                           block=BLOCK, iters=14, mm_passes=3, recip=2):
     """2-D grid (ntgt, bpt) variant: per-target tables keyed on t alone."""
     ntgt, nw, NO = Wcomb.shape
     nd = D.shape[2]
@@ -118,7 +118,7 @@ def main():
     singles = []
     for s in range(NTGT):
         t, truth = build_bench_target(jnp.float32, seed=s)
-        singles.append(dataclasses.replace(t, median_iters=16, matmul_passes=3,
+        singles.append(dataclasses.replace(t, median_iters=14, matmul_passes=3,
                                            recip_newton=2))
     fleet = stack_targets(singles)
     ntgt, nT, nG, nd = fleet.D.shape
@@ -132,7 +132,7 @@ def main():
             fleet.V, fleet.Vpinv, fleet.med_data, fleet.n_data_true)
 
     fA = jax.jit(lambda *a: pk.spectrum_chi2_fleet(
-        *a, block=BLOCK, iters=16, mm_passes=3, recip=2))
+        *a, block=BLOCK, iters=14, mm_passes=3, recip=2))
     tA = _time(fA, *args)
     print(f"[A] flat grid (shipped):   {tA*1e3:.2f} ms "
           f"({NTGT*NW/tA/1e6:.1f}M walker-evals/s)", flush=True)

@@ -28,7 +28,19 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# --cpu: run the sweep on the host (XLA path, exact-median arithmetic — the
+# accuracy dials are kernel-only).  Validates the two-stage pipeline's truth
+# recovery across the contrast range without a TPU; the default TPU run
+# additionally exercises the production dials.  Must precede the jax import.
+CPU_MODE = "--cpu" in sys.argv
+if CPU_MODE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax
+
+if CPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -150,9 +162,26 @@ def main():
               flush=True)
 
     print(f"\ntotal wall: {time.perf_counter()-t_start:.0f}s")
-    worst = max(max(abs(s) for s in r["shift"]) for r in rows)
-    print(f"worst |shift| across 12 fixtures x 6 params: {worst:.3f} sigma "
-          f"({'PASS' if worst < 0.5 else 'FAIL'} vs the 0.5-sigma north star)")
+    # Acceptance is CALIBRATION, not per-draw proximity: recovered-vs-injected
+    # at one noise realization scatters at ~1 posterior sigma BY CONSTRUCTION
+    # (the 0.5-sigma north star is posterior-vs-REFERENCE parity, BASELINE.md
+    # line 24 — a different quantity, enforced by the RefEmulator suites).
+    # A calibrated pipeline shows per-parameter z = (median-truth)/sigma with
+    # mean ~0 (no systematic bias; tolerance 3/sqrt(12) standard errors) and
+    # std ~1 (honest error bars) across the 12 independent noise seeds.
+    Z = np.array([r["shift"] for r in rows])  # [12, 6]
+    worst = float(np.max(np.abs(Z)))
+    print(f"worst |z| across 12 fixtures x 6 params: {worst:.3f} "
+          f"(max of 72 N(0,1) draws expects ~2.5)")
+    ok = True
+    for j, lab in enumerate(LABELS):
+        m, s = float(np.mean(Z[:, j])), float(np.std(Z[:, j]))
+        bias_ok = abs(m) < 3.0 * max(s, 0.3) / np.sqrt(len(rows))
+        width_ok = 0.4 < s < 1.8
+        ok &= bias_ok and width_ok
+        print(f"  {lab:>6}: mean z {m:+.3f} (bias {'ok' if bias_ok else 'FAIL'}), "
+              f"std z {s:.3f} ({'ok' if width_ok else 'FAIL'})")
+    print("calibration: " + ("PASS" if ok else "FAIL"))
     print(json.dumps(rows))
     shutil.rmtree(work, ignore_errors=True)
 

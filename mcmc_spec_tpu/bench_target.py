@@ -102,10 +102,15 @@ def build_bench_target(dtype, nd=1792, grid_step=1.0, nspec=2, seed=0,
     out = forward(jnp.asarray(p, dtype=dtype), tgt)
     import dataclasses
 
+    # noise draws are sized by the TRUE filter counts (not the padded
+    # forward-output shapes) so a pad_nc/pad_nd build consumes the same RNG
+    # stream as its unpadded twin — padding-inertness comparisons on these
+    # fixtures must see identical true observations, not an RNG shift
+    cnoise = np.zeros(out.contrasts.shape[-1])
+    cnoise[: len(cfilts)] = rng.normal(0, 0.02, len(cfilts))
     tgt = dataclasses.replace(
         tgt,
-        cmag=out.contrasts
-        + jnp.asarray(rng.normal(0, 0.02, out.contrasts.shape[-1]), dtype=dtype),
+        cmag=out.contrasts + jnp.asarray(cnoise, dtype=dtype),
         pmag=out.phot_mags + jnp.asarray(rng.normal(0, 0.02, len(pfilts)), dtype=dtype),
     )
     return tgt, p

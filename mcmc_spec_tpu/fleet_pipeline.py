@@ -148,25 +148,17 @@ def stream_fleet_samples(store, dirnames: Sequence[str], n_chunks: int,
     the reference does (mft6.py:1531).
 
     Bytes written are identical to ``results_io.write_samples`` on the
-    concatenated chain (same pandas shortest-roundtrip formatting).
+    concatenated chain (both delegate to ``results_io.write_sample_block``).
     """
     ntgt = len(dirnames)
     parts = [[] for _ in dirnames] if return_samples else None
     handles = [open(os.path.join(d, "samples.txt"), "w") for d in dirnames]
-    try:
-        import pandas as pd
-    except ImportError:
-        pd = None
+    pd = results_io._pandas_or_none()
     try:
         for c in store.iter_chunks(n_chunks):
             for t in range(ntgt):
                 block = np.ascontiguousarray(c[:, t]).reshape(-1, ndim)
-                if pd is not None:
-                    pd.DataFrame(block).to_csv(
-                        handles[t], sep=" ", header=False, index=False,
-                        na_rep="nan")
-                else:
-                    np.savetxt(handles[t], block)
+                results_io.write_sample_block(handles[t], block, pd)
                 if return_samples:
                     parts[t].append(block)
     finally:
@@ -205,7 +197,10 @@ def run_fleet_mcmc(
     the stacked sampler state lands in ``fleet_chain_checkpoint.npz`` under
     the FIRST target's dirname plus an append-only ``fleet_chain_chunks/``
     store, config-tagged over every target, and an interrupted multi-hour
-    fleet run (BASELINE config 5) resumes bit-identically.
+    fleet run (BASELINE config 5) resumes bit-identically.  Chunks persist
+    to the store unconditionally (resume history + streaming source for
+    the ``samples.txt`` writes); ``checkpoint_every`` paces only the
+    sampler-state snapshot (0 = no snapshots, chunks still persist).
     """
     cfgs = [ctx.cfg for ctx in ctxs]
     _warn_fleet_schedule_mismatch(cfgs)
@@ -288,8 +283,9 @@ def run_fleet_mcmc(
     # VERDICT r3 weak #1) and the FFT gate re-runs only when the chain has
     # grown by ACL_GATE_GROWTH, bounding total gate traffic at O(n)
     ACL_MAX_WALKERS = 256
-    acl_kept = [c[:, :, :ACL_MAX_WALKERS]
-                for c in store.iter_chunks(start_chunk)]
+    # accumulator + resume replay exist only for the gate (see run_mcmc_stage)
+    acl_kept = ([c[:, :, :ACL_MAX_WALKERS] for c in store.iter_chunks(start_chunk)]
+                if check_convergence else [])
     old_taus = None
     n_done = start_chunk * nthin
     n_chunks_done = start_chunk
@@ -297,7 +293,8 @@ def run_fleet_mcmc(
     for n in range(start_chunk, max(nsteps // nthin, 1)):
         state, chain, _ = run_fleet_ensemble(state, fleet, n_steps=nthin, thin=1)
         chain = np.asarray(jax.device_get(chain))  # [nthin, ntgt, nw, ndim]
-        acl_kept.append(chain[:, :, :ACL_MAX_WALKERS])
+        if check_convergence:
+            acl_kept.append(chain[:, :, :ACL_MAX_WALKERS])
         n_done += nthin
         for t, cfg in enumerate(cfgs):
             results_io.dump_coords(cfg.dirname, cfg.fname, n * nthin, chain[-1, t],

@@ -20,29 +20,46 @@ from typing import Optional
 import numpy as np
 
 
+def _pandas_or_none():
+    try:
+        import pandas as pd
+        return pd
+    except ImportError:
+        return None
+
+
+def write_sample_block(f, arr: np.ndarray, pd=None):
+    """One block of ``samples.txt`` rows to an open handle.
+
+    THE format-critical writer — every samples.txt producer
+    (:func:`write_samples`, :func:`write_samples_streamed`,
+    ``fleet_pipeline.stream_fleet_samples``) goes through this single
+    helper so the bytes cannot diverge between the block and whole-array
+    paths.  pandas' C csv writer is ~5x ``np.savetxt``'s Python row loop
+    at GB-scale; values are shortest-roundtrip (bit-identical doubles on
+    ``np.genfromtxt`` read-back, tests/test_io.py).  ``na_rep``: to_csv
+    writes NaN as an EMPTY field by default, which np.genfromtxt reads as
+    a short row ("got N columns instead of M"); np.savetxt wrote 'nan',
+    so match it for diverged-walker rows.
+    """
+    arr = np.asarray(arr)
+    if pd is not None:
+        pd.DataFrame(arr).to_csv(f, sep=" ", header=False, index=False,
+                                 na_rep="nan")
+    else:
+        np.savetxt(f, arr)
+
+
 def write_samples(dirname: str, samples: np.ndarray):
     """Flat-chain ``samples.txt`` in the reference's np.savetxt format.
 
     At production ensemble sizes the file is GB-scale text (a 9x4096-walker
-    config-5 fleet writes ~11 GB across targets), where ``np.savetxt``'s
-    Python row loop runs ~100k rows/s; pandas' C csv writer is ~5x faster.
-    Values are written in shortest-roundtrip representation instead of
-    np.savetxt's fixed '%.18e' — bit-identical doubles on read-back
-    (tests/test_io.py round-trips it with ``np.genfromtxt``, which is how
-    the reference's downstream tooling consumes samples.txt).
+    config-5 fleet writes ~11 GB across targets); see
+    :func:`write_sample_block` for the format contract.
     """
     path = os.path.join(dirname, "samples.txt")
-    arr = np.asarray(samples)
-    try:
-        import pandas as pd
-
-        # na_rep: to_csv writes NaN as an EMPTY field by default, which
-        # np.genfromtxt reads as a short row ("got N columns instead of M");
-        # np.savetxt wrote 'nan', so match it for diverged-walker rows
-        pd.DataFrame(arr).to_csv(path, sep=" ", header=False, index=False,
-                                 na_rep="nan")
-    except ImportError:
-        np.savetxt(path, arr)
+    with open(path, "w") as f:
+        write_sample_block(f, samples, _pandas_or_none())
 
 
 def write_samples_streamed(dirname: str, blocks) -> int:
@@ -52,23 +69,16 @@ def write_samples_streamed(dirname: str, blocks) -> int:
     a config-5 fleet chain is ~13 GB; accumulating it in RAM and then
     ``np.concatenate``-ing for one ``write_samples`` call held 2x that).
     Emits the exact same bytes as :func:`write_samples` on the concatenated
-    blocks (same pandas shortest-roundtrip formatting, same ``nan`` rep).
-    Returns the number of rows written.
+    blocks (both delegate to :func:`write_sample_block`).  Returns the
+    number of rows written.
     """
     path = os.path.join(dirname, "samples.txt")
     n = 0
-    try:
-        import pandas as pd
-    except ImportError:
-        pd = None
+    pd = _pandas_or_none()
     with open(path, "w") as f:
         for b in blocks:
             arr = np.asarray(b)
-            if pd is not None:
-                pd.DataFrame(arr).to_csv(f, sep=" ", header=False,
-                                         index=False, na_rep="nan")
-            else:
-                np.savetxt(f, arr)
+            write_sample_block(f, arr, pd)
             n += len(arr)
     return n
 

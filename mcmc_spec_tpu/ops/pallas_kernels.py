@@ -50,7 +50,7 @@ def resolve_dials(tgt) -> tuple:
     it = getattr(tgt, "median_iters", 0)
     mm = getattr(tgt, "matmul_passes", 0)
     rn = getattr(tgt, "recip_newton", -1)
-    if it <= 0 or mm <= 0 or rn < 0:
+    if it <= 0 or mm not in (1, 3, 6) or rn < 0:
         raise ValueError(
             "PackedTarget accuracy dials unset "
             f"(median_iters={it}, matmul_passes={mm}, recip_newton={rn}): "
@@ -69,7 +69,10 @@ def _require_dials(iters, mm_passes, recip) -> tuple:
     trace time (the round-2 footgun, lurking for direct callers after round
     3 moved production paths to pack-time statics).  Round 4 deleted that
     path: callers thread the pack-time values (``resolve_dials``) or choose
-    explicitly."""
+    explicitly.  Enforces the same value ranges as ``resolve_dials`` — an
+    out-of-range dial (iters<=0 runs zero rank-search passes and returns
+    the untouched initial bit interval's midpoint) must fail loudly, not
+    produce silently-wrong chi^2."""
     if iters is None or mm_passes is None or recip is None:
         raise ValueError(
             "spectrum kernels require explicit accuracy dials "
@@ -78,7 +81,15 @@ def _require_dials(iters, mm_passes, recip) -> tuple:
             "pass values explicitly — the trace-time env fallback was "
             "removed in round 4."
         )
-    return int(iters), int(mm_passes), int(recip)
+    iters, mm_passes, recip = int(iters), int(mm_passes), int(recip)
+    if iters <= 0 or mm_passes not in (1, 3, 6) or recip < 0:
+        raise ValueError(
+            "spectrum kernel dials out of range "
+            f"(iters={iters}, mm_passes={mm_passes}, recip={recip}): "
+            "need iters >= 1 rank-search passes, mm_passes in {1, 3, 6} "
+            "(the only bf16-split schedules _dot_f32 implements), recip >= 0."
+        )
+    return iters, mm_passes, recip
 
 
 _RECIP_MAGIC = 0x7EF311C3  # optimal-ish 1/x seed constant (Blinn-style)

@@ -426,6 +426,13 @@ def run_mcmc_stage(
     ``chain_checkpoint.npz`` (coordinates, log-probs, RNG key, step index)
     plus the append-only ``chain_chunks/`` store — the reference's only
     resumability is re-reading its text dumps.
+
+    Every chunk is persisted to ``chain_chunks/`` unconditionally (it is
+    both the resume history and the streaming source for ``samples.txt``
+    — since round 4 the full chain is never held in RAM), so the store
+    transiently costs ~chain-size on disk and is cleared on completion;
+    ``checkpoint_every`` paces only the sampler-state snapshot (0 = no
+    snapshots, chunks still persist).
     """
     cfg = ctx.cfg
     tgt = ctx.target
@@ -497,8 +504,11 @@ def run_mcmc_stage(
     # run; geometric gating bounds it at ~4x the final-chain cost while the
     # autocorr trace file keeps the reference's one-mean-ACL-per-line format.
     ACL_MAX_WALKERS = 256
-    acl_kept = [c[:, :ACL_MAX_WALKERS]
-                for c in store.iter_chunks(start_chunk)]
+    # the accumulator (and the resume replay of stored chunks feeding it)
+    # exists only for the gate: with check_convergence=False it would read
+    # the whole multi-GB store and hold ~0.8 GB nobody FFTs
+    acl_kept = ([c[:, :ACL_MAX_WALKERS] for c in store.iter_chunks(start_chunk)]
+                if check_convergence else [])
     old_taus = None
     n_done = start_chunk * nthin
     n_chunks = max(cfg.nsteps // nthin, 1)
@@ -507,7 +517,8 @@ def run_mcmc_stage(
     for n in range(start_chunk, n_chunks):
         state, chain = driver.run(state, n_steps=nthin, thin=1)
         chain = np.asarray(jax.device_get(chain))
-        acl_kept.append(chain[:, :ACL_MAX_WALKERS])
+        if check_convergence:
+            acl_kept.append(chain[:, :ACL_MAX_WALKERS])
         n_done += nthin
         results_io.dump_coords(cfg.dirname, cfg.fname, n * nthin, chain[-1],
                                stage="results")

@@ -23,7 +23,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CHILD = """
 import os, sys, time
-sys.path.insert(0, {repo!r})
+sys.path.insert(0, __REPO__)
 import jax
 from mcmc_spec_tpu.cli import main
 t0 = time.time()
@@ -47,7 +47,10 @@ print(f"CHILD WALL {time.time()-t0:.1f}", flush=True)
 def run_once(tag, workdir, cache_dir):
     env = dict(os.environ, MCMC_SPEC_COMPILE_CACHE=cache_dir)
     t0 = time.time()
-    out = subprocess.run([sys.executable, "-c", CHILD.format(repo=REPO)],
+    # NOT str.format: the child source's own f-string braces would be
+    # interpreted as format fields (this bit once — KeyError: 'time')
+    out = subprocess.run([sys.executable, "-c",
+                          CHILD.replace("__REPO__", repr(REPO))],
                          cwd=workdir, env=env, capture_output=True, text=True)
     dt = time.time() - t0
     sys.stdout.write(out.stdout[-2000:])

@@ -39,7 +39,7 @@ NWALK = 32768
 DIALS = dict(median_iters=14, matmul_passes=3, recip_newton=2)
 
 
-def variant_kernel(do_phot, do_priors, do_spectrum):
+def variant_kernel(do_phot, do_priors, do_spectrum, do_w=True):
     """A _posterior_kernel clone with sections gated by static flags.
 
     Mirrors ops/pallas_kernels._posterior_kernel (kept in sync by the
@@ -77,9 +77,13 @@ def variant_kernel(do_phot, do_priors, do_spectrum):
         Wcomb = None
         cmags = []
         for s in range(n):
-            wm = pk._tent_w(mist_tc, teffs[s])
-            logg_s = jnp.sum(wm * logg_nodes, axis=1, keepdims=True)
-            Wk = pk._tent_w(tT, teffs[s]) * pk._tent_w(tG, logg_s)
+            if do_w:
+                wm = pk._tent_w(mist_tc, teffs[s])
+                logg_s = jnp.sum(wm * logg_nodes, axis=1, keepdims=True)
+                Wk = pk._tent_w(tT, teffs[s]) * pk._tent_w(tG, logg_s)
+            else:
+                # cost stub: Wcomb becomes a 2-op broadcast, same shape
+                Wk = teffs[s] * jnp.full((1, tT.shape[1]), 1e-4, f32)
             sWk = scales[s] * Wk
             Wcomb = sWk if Wcomb is None else Wcomb + sWk
             if do_phot:
@@ -157,9 +161,14 @@ def timed_call(tgt, coords, n_iter=50):
     @jax.jit
     def loop(p):
         def body(c, _):
-            out = pk.log_posterior_fused(p, tgt)
+            # loop-carried dependency: c*1e-30 is far below f32 resolution
+            # of the walker params (bitwise no-op) but XLA cannot prove it,
+            # so the kernel cannot be hoisted out of the scan (the trap
+            # scripts/dma_probe.py round 1 fell into: a loop-INVARIANT
+            # pallas_call gets hoisted and times ~0)
+            out = pk.log_posterior_fused(p + c * jnp.float32(1e-30), tgt)
             return c + out[0], None
-        acc, _ = jax.lax.scan(body, 0.0, None, length=n_iter)
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n_iter)
         return acc
 
     loop(coords).block_until_ready()
@@ -186,6 +195,12 @@ def main():
         ("no_priors", dict(do_phot=True, do_priors=False, do_spectrum=True)),
         ("no_epilogue", dict(do_phot=False, do_priors=False, do_spectrum=True)),
         ("no_spectrum", dict(do_phot=True, do_priors=True, do_spectrum=False)),
+        # spectrum block alone, W stubbed to a 2-op broadcast
+        ("spec_only", dict(do_phot=False, do_priors=False, do_spectrum=True,
+                           do_w=False)),
+        # near-empty body, FULL input signature: the DMA + launch floor
+        ("empty", dict(do_phot=False, do_priors=False, do_spectrum=False,
+                       do_w=False)),
     ]
     results = {}
     try:
@@ -209,9 +224,10 @@ def main():
 
     f = results["full"]
     print("\nattribution (vs full):")
-    for name in ("no_phot", "no_priors", "no_epilogue", "no_spectrum"):
-        print(f"  {name:>12}: saves {f - results[name]:+.3f} ms "
-              f"({100 * (f - results[name]) / f:+.1f}%)")
+    for name in results:
+        if name != "full":
+            print(f"  {name:>12}: saves {f - results[name]:+.3f} ms "
+                  f"({100 * (f - results[name]) / f:+.1f}%)")
 
 
 if __name__ == "__main__":

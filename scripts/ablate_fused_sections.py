@@ -157,25 +157,28 @@ def variant_kernel(do_phot, do_priors, do_spectrum, do_w=True):
     return kern
 
 
-def timed_call(tgt, coords, n_iter=50):
-    @jax.jit
-    def loop(p):
-        def body(c, _):
-            # loop-carried dependency: c*1e-30 is far below f32 resolution
-            # of the walker params (bitwise no-op) but XLA cannot prove it,
-            # so the kernel cannot be hoisted out of the scan (the trap
-            # scripts/dma_probe.py round 1 fell into: a loop-INVARIANT
-            # pallas_call gets hoisted and times ~0)
-            out = pk.log_posterior_fused(p + c * jnp.float32(1e-30), tgt)
-            return c + out[0], None
-        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n_iter)
-        return acc
-
-    loop(coords).block_until_ready()
+def timed_call(tgt, coords, n_iter=20):
+    """Direct pipelined dispatch: the scan harness is untrustworthy here
+    (XLA can hoist the pallas_call out of the scan even behind a
+    loop-carried perturbation — measured: a 101-iteration scan costing the
+    same as 1 iteration).  Queued dispatches pipeline through the tunnel,
+    so per-call cost = wall / n with only the first call paying latency."""
+    # __wrapped__: log_posterior_fused is module-level jitted, and its trace
+    # cache is keyed on (avals, statics) ONLY — a monkeypatched
+    # _posterior_kernel is invisible to it, so calling the jitted wrapper
+    # silently reruns the production kernel (this bit: the first two
+    # ablation passes produced identical-fingerprint executables for every
+    # variant).  Tracing the unjitted function inside a fresh jit per
+    # variant picks up the patch.
+    fused = jax.jit(lambda p: pk.log_posterior_fused.__wrapped__(p, tgt))
+    fused(coords).block_until_ready()
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        loop(coords).block_until_ready()
+        out = None
+        for _ in range(n_iter):
+            out = fused(coords)
+        out.block_until_ready()
         best = min(best, (time.perf_counter() - t0) / n_iter)
     return best * 1e3
 
@@ -203,11 +206,12 @@ def main():
                        do_w=False)),
     ]
     results = {}
+    unjit = lambda p: pk.log_posterior_fused.__wrapped__(p, tgt)
     try:
         for name, flags in variants:
             pk._posterior_kernel = variant_kernel(**flags)
+            got = np.asarray(jax.jit(unjit)(coords[:512]))
             if name == "full":
-                got = np.asarray(pk.log_posterior_fused(coords[:512], tgt))
                 fin = np.isfinite(real)
                 assert np.array_equal(fin, np.isfinite(got))
                 err = np.max(np.abs(got[fin] - real[fin])
@@ -215,6 +219,10 @@ def main():
                 print(f"full-variant sanity vs production kernel: "
                       f"max rel {err:.2e}", flush=True)
                 assert err < 1e-6, err
+            else:
+                # the patch must actually change the program — the jitted
+                # wrapper's trace cache silently ignored it twice
+                assert not np.allclose(got, real[:512], equal_nan=True), name
             ms = timed_call(tgt, coords)
             results[name] = ms
             print(f"  {name:>12}: {ms:.3f} ms/call "

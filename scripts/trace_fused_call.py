@@ -71,23 +71,22 @@ def trace_one(tag, fn, coords, logdir):
 
 def main():
     print("devices:", jax.devices(), flush=True)
-    tgt, truth = build_bench_target(jnp.float32)
-    tgt = dataclasses.replace(tgt, eval_block=256, median_iters=14,
-                              matmul_passes=3, recip_newton=2)
-    coords = init_walker_batch(tgt, truth, NWALK, jnp.float32)
+    dials = dict(eval_block=256, median_iters=14, matmul_passes=3,
+                 recip_newton=2)
 
-    fused = jax.jit(lambda p: pk.log_posterior_fused(p, tgt))
-    trace_one("full", fused, coords, "/tmp/xprof_fused_full")
+    # kernel device time vs nd — the definitive version of the
+    # try_block_size.py §[B] sweep (that one used the scan harness)
+    for nd in (896, 1792, 3584):
+        tgt, truth = build_bench_target(jnp.float32, nd=nd)
+        tgt = dataclasses.replace(tgt, **dials)
+        coords = init_walker_batch(tgt, truth, NWALK, jnp.float32)
+        fused = jax.jit(lambda p, t=tgt: pk.log_posterior_fused(p, t))
+        trace_one(f"full nd={nd}", fused, coords, f"/tmp/xprof_fused_{nd}")
 
-    from scripts.ablate_fused_sections import variant_kernel
-    orig = pk._posterior_kernel
-    try:
-        pk._posterior_kernel = variant_kernel(do_phot=False, do_priors=False,
-                                              do_spectrum=False, do_w=False)
-        empty = jax.jit(lambda p: pk.log_posterior_fused(p, tgt))
-        trace_one("empty", empty, coords, "/tmp/xprof_fused_empty")
-    finally:
-        pk._posterior_kernel = orig
+    # NOTE: monkeypatched variants must go through __wrapped__ in a fresh
+    # jit (the module-jitted wrapper's trace cache ignores the patch —
+    # caught by identical program fingerprints in the first run of this
+    # script); the section ablation lives in ablate_fused_sections.py.
 
 
 if __name__ == "__main__":

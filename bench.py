@@ -13,19 +13,21 @@ Prints ONE json line:
 
 The extra keys are the efficiency accounting (VERDICT r1 item 7): achieved
 FLOP/s and utilisation against the chip's two compute units.  This workload
-is *VPU-bound*, not MXU-bound — the spectrum matmul is tiny (K=56) while the
+is *VPU-heavy*, not MXU-bound — the spectrum matmul is tiny (K=56) while the
 radix median + continuum renorm are elementwise/reduction work — so "MFU"
-(matmul FLOPs vs MXU peak) is structurally low and ``vpu_util_est`` is the
-number that says how close the kernel runs to the silicon.  Round 3
-re-calibrated that receipt against MEASURED ceilings
-(scripts/vpu_microbench.py): the best vector throughput constructible on
-this chip is ~1.42 T ops/s (37%% of the scaling-book 4-ALU model, which is
-unachievable and made the round-2 receipts disagree), and against it the
-fused kernel runs at ~100%% — one median pass costs 1.37 ns marginal per
-eval (~1.1 multiply-equivalents/element), i.e. the kernel is at the
-constructible silicon limit; remaining levers are op-count reductions
-(the 14-pass midpoint median and the 2-Newton renorm reciprocal are the
-shipped ones) and MXU/VPU overlap.
+(matmul FLOPs vs MXU peak) is structurally low.  ``vpu_util_est`` is a
+REGRESSION INDICATOR calibrated at the production shape (1.00 = round-3
+state), NOT a utilisation proof: the round-4 section ablation +
+device-trace attribution (benchmarks/RESULTS.md §section attribution)
+showed ~44%% of the kernel is nd-independent, of which ~0.7 ms is a
+nonlinear Mosaic scheduling residue no single section owns — the honest
+statement is 19.4M evals/s in-kernel at the production dials with the
+per-section cost table in RESULTS.md, and the kernel measured within ~5%%
+of its practical floor for this program shape (the walker-lanes-major
+epilogue experiment bought only +3%% and was not adopted).  The measured
+VPU ceiling (~1.42 T ops/s, scripts/vpu_microbench.py — 37%% of the
+scaling-book 4-ALU model, which is unachievable) remains the right
+denominator for the indicator.
 """
 import json
 import sys

@@ -156,6 +156,23 @@ class TestResultsArtifacts:
         assert stream_fleet_samples(store, dirnames, 4, 6,
                                     return_samples=False) is None
 
+    def test_write_samples_streamed_byte_identity(self, tmp_path):
+        """The block-streamed single-target writer and the whole-array
+        writer share one format-critical helper (write_sample_block) and
+        must emit identical bytes — including 'nan' for diverged rows."""
+        from mcmc_spec_tpu.io.results import write_samples, write_samples_streamed
+
+        rng = np.random.RandomState(7)
+        arr = rng.randn(64, 6)
+        arr[13, 2] = np.nan
+        a = tmp_path / "whole"
+        b = tmp_path / "streamed"
+        os.makedirs(a), os.makedirs(b)
+        write_samples(str(a), arr)
+        n = write_samples_streamed(str(b), (arr[i:i + 10] for i in range(0, 64, 10)))
+        assert n == 64
+        assert (a / "samples.txt").read_bytes() == (b / "samples.txt").read_bytes()
+
 
 @pytest.mark.skipif(not HAVE_BPS, reason="bps unavailable")
 class TestBpsTextFormatFuzz:

@@ -244,14 +244,30 @@ class SpectralGrid:
 
     # ------------------------------------------------------------- interp
     def interp_spectrum(self, teff: float, logg: float) -> np.ndarray:
-        """Host-side bilinear spectrum at (teff, logg) — ``get_spec`` analogue."""
-        from mcmc_spec_tpu.ops.interp import bilinear_bracket, bilinear_gather_blend
-        import jax.numpy as jnp
+        """Host-side bilinear spectrum at (teff, logg) — ``get_spec`` analogue.
 
-        ti, tw = bilinear_bracket(jnp.asarray(self.temps), teff)
-        gi, gw = bilinear_bracket(jnp.asarray(self.loggs), logg)
-        out = bilinear_gather_blend(jnp.asarray(self.flux), ti, tw, gi, gw)
-        return np.asarray(out)
+        Pure numpy BY DESIGN (a numpy mirror of ``ops.interp``'s
+        ``bilinear_bracket``/``bilinear_gather_blend`` semantics, pinned by
+        tests/test_models.py): the previous jnp implementation re-uploaded
+        the ENTIRE flux cube per call — through the remote-TPU tunnel that
+        made the 100-draw ``all_spec`` report loop cost ~10 minutes of a
+        12-minute production fit (200 x tens-of-MB device transfers for a
+        host-side plot).  Report paths call this in per-draw loops; it must
+        never touch the device.
+        """
+        def bracket(axis_vals, q):
+            axis_vals = np.asarray(axis_vals)
+            i = int(np.clip(np.searchsorted(axis_vals, q, side="right") - 1,
+                            0, axis_vals.shape[0] - 2))
+            lo, hi = axis_vals[i], axis_vals[i + 1]
+            return i, (q - lo) / (hi - lo)
+
+        ti, tw = bracket(self.temps, teff)
+        gi, gw = bracket(self.loggs, logg)
+        flux = np.asarray(self.flux)
+        f0 = flux[ti, gi] * (1.0 - gw) + flux[ti, gi + 1] * gw
+        f1 = flux[ti + 1, gi] * (1.0 - gw) + flux[ti + 1, gi + 1] * gw
+        return f0 * (1.0 - tw) + f1 * tw
 
 
 def _read_two_columns_py(path: str, lo: float, hi: float):

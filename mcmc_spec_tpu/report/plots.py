@@ -106,7 +106,11 @@ def plot_fit(ctx):
         labels = (["teff1", "teff2", "teff3", "Av", "rad1", "rad2", "rad3", "dist"]
                   if fit_plx else ["teff1", "teff2", "teff3", "Av", "rad2", "rad3"])
 
-    walk_files = sorted(glob(os.path.join(run, "params*txt")))
+    # numbered per-walker traces only: a bare "params*" glob also matches
+    # the FINAL params.txt summary (written by plot_results), which made
+    # re-running the report over a completed directory crash on its
+    # mixed-column text
+    walk_files = sorted(glob(os.path.join(run, "params[0-9]*txt")))
     figs_axes = [plt.subplots() for _ in labels]
     for f in walk_files:
         res = np.atleast_2d(np.genfromtxt(f))

@@ -68,6 +68,31 @@ class TestSpectralGrid:
         manual = 0.25 * (g.flux[0, 0] + g.flux[0, 1] + g.flux[1, 0] + g.flux[1, 1])
         np.testing.assert_allclose(mid, manual, rtol=1e-10)
 
+    def test_interp_spectrum_matches_jax_helpers(self):
+        """interp_spectrum is a pure-numpy mirror of ops.interp's
+        bilinear_bracket/bilinear_gather_blend BY DESIGN (the jnp version
+        re-uploaded the whole flux cube per call — through the remote
+        tunnel that was ~10 min of a 12-min production fit's report loop);
+        this pins the two implementations to each other, including edge
+        clamping and beyond-range extrapolation."""
+        import jax.numpy as jnp
+
+        from mcmc_spec_tpu.ops.interp import bilinear_bracket, bilinear_gather_blend
+
+        g = synthetic_grid(
+            specrange=(6000.0, 7000.0), data_window=(6400.0, 6800.0), resolution=1000,
+            temps=np.array([3000.0, 3400.0, 3800.0]), loggs=np.array([4.0, 4.5, 5.0]),
+            step=1.0,
+        )
+        for teff, logg in [(3200.0, 4.75), (3000.0, 4.0), (3800.0, 5.0),
+                           (2900.0, 3.8), (3950.0, 5.2), (3400.0, 4.5)]:
+            ti, tw = bilinear_bracket(jnp.asarray(g.temps, jnp.float64), teff)
+            gi, gw = bilinear_bracket(jnp.asarray(g.loggs, jnp.float64), logg)
+            want = np.asarray(bilinear_gather_blend(
+                jnp.asarray(g.flux, jnp.float64), ti, tw, gi, gw))
+            got = g.interp_spectrum(teff, logg)
+            np.testing.assert_allclose(got, want, rtol=1e-12, atol=0)
+
 
 class TestBtsettlLoader:
     def _write_btsettl(self, tmp_path):

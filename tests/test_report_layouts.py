@@ -225,6 +225,11 @@ class TestNoDistanceReporting:
         text = open(os.path.join(d, "params.txt")).read()
         assert "parallax" not in text  # short variant (mft6.py:2360)
         assert "radius:" in text and "Kep mag" in text
+        # RE-RUN over the completed directory: plot_fit's walker-trace glob
+        # must not swallow the freshly-written params.txt summary (the bare
+        # "params*" pattern did, and genfromtxt crashed on its mixed-column
+        # text — caught re-plotting a finished production run)
+        plot_fit(ctx)
 
     def test_fit_plx_false_reports(self, tmp_path):
         """4-vector (fit_plx=False) layout through plot_fit + plot_results."""

@@ -144,8 +144,9 @@ def main():
         f"{rate*mxu_executed/1e12:.2f} TFLOP/s executed (bf16x3, K padded to 128) "
         f"= {100*mfu:.1f}% of bf16 peak | "
         f"VPU: ~{rate*vpu_ops/1e12:.2f} T mult-equivalents/s "
-        f"~= {100*vpu_util:.0f}% of the MEASURED vector ceiling "
-        f"(1.42 T ops/s; the binding unit)",
+        f"~= {100*vpu_util:.0f}% of the measured 1.42 T ops/s vector ceiling "
+        f"(a production-shape REGRESSION INDICATOR, not a utilisation proof "
+        f"— RESULTS.md round-4 section attribution)",
         file=sys.stderr,
     )
     print(json.dumps({

@@ -1,0 +1,354 @@
+"""Spectral-axis (sp) model parallelism: wavelength shards across chips.
+
+The walker mesh axis (``parallel.sharding``) scales the *ensemble*; this
+module adds the orthogonal scaling axis the reference has no analogue of:
+sharding the **wavelength axis** of the packed target across chips.  The
+dominant device tensor of a fit is the grid projection ``D [nT, nG, nd]``
+(plus the per-point data/renorm vectors); at full native PHOENIX resolution
+``nd`` is O(10^5-10^6) and a dense temperature grid pushes ``D`` past one
+chip's HBM.  With ``nd`` sharded, every chip holds ``1/n_spec`` of the grid
+and of the per-point work, and the log-posterior stays *exact*:
+
+* the model-spectrum matmul ``Wcomb @ D`` is column-parallel (each chip
+  produces its wavelength slice of the model — classic tensor-parallel
+  layout, zero communication);
+* extinction and the per-point residuals are elementwise (local);
+* the continuum-renorm projection ``frac @ Vpinv.T`` and the chi^2
+  reduction are sums over wavelength -> one ``psum`` each ([nw, 3] and
+  [nw] floats over ICI);
+* the rank-based median is computed by a **distributed radix select**: the
+  single-chip kernel (``ops.pallas_kernels._row_order_stat_bits``) bisects
+  the non-negative f32 bit range on per-pass *counts*, and counts are
+  additive across shards — so ``psum``-ing the local counts reproduces the
+  single-chip lo/hi trajectory, and therefore the median, **bit-exactly**
+  (31 passes x one [nw] int32 psum).
+
+Everything wavelength-independent (photometry, contrasts, priors, bounds)
+is computed redundantly per shard from replicated inputs — a few percent
+of the work, identical on every chip.
+
+Semantics match the XLA spectrum backend (exact median; the fast-median
+tempering dial is a single-chip Mosaic optimization — see
+``utils.flags.median_iters``), pinned by tests/test_spec_shard.py on the
+8-device virtual CPU mesh against ``inference.batched``.
+
+Composes with walker data-parallelism on a 2-D ``(walkers, spec)`` mesh:
+``run_ensemble_spec_sharded`` runs the full stretch-move chain with the
+complement ``all_gather`` riding the walker axis and the spectrum psums
+riding the spec axis.
+
+Reference scope note: the reference evaluates one spectrum per process on
+host numpy (mft6.py:994-1046) and its parallelism is an OS process pool
+(mft6.py:1744-1755); wavelength sharding has no reference counterpart —
+it exists so grids larger than one chip's HBM can run at all.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mcmc_spec_tpu.inference.batched import _HI, log_posterior_batch
+from mcmc_spec_tpu.inference.stretch import EnsembleState
+from mcmc_spec_tpu.inference.target import PackedTarget
+from mcmc_spec_tpu.ops.pallas_kernels import _F32_INF_BITS
+from mcmc_spec_tpu.parallel.sharding import _half_update_local
+
+# PackedTarget data fields carrying the data-wavelength axis, with the axis
+# position ``nd`` occupies in each (everything else is replicated).
+_SPEC_AXIS_FIELDS = {
+    "D": 2,          # [nT, nG, nd]
+    "data_flux": 0,  # [nd]
+    "data_err": 0,   # [nd]
+    "ext_k_data": 0, # [nd]
+    "V": 0,          # [nd, 3]
+    "Vpinv": 1,      # [3, nd]
+}
+
+
+def target_spec_tree(tgt: PackedTarget, spec_axis: str = "spec") -> PackedTarget:
+    """PackedTarget-shaped pytree of PartitionSpecs: nd axis -> ``spec_axis``.
+
+    Used both as ``shard_map`` in_specs and (via :func:`shard_target_over_spec`)
+    to place the target on the mesh.
+    """
+    reps = {}
+    for field in dataclasses.fields(tgt):
+        name = field.name
+        if name in _SPEC_AXIS_FIELDS:
+            axpos = _SPEC_AXIS_FIELDS[name]
+            ndim = np.ndim(getattr(tgt, name))
+            spec = [None] * ndim
+            spec[axpos] = spec_axis
+            reps[name] = P(*spec)
+        elif name in PackedTarget.__dataclass_fields__ and not _is_meta(name):
+            reps[name] = P()
+    return dataclasses.replace(tgt, **reps)
+
+
+def _is_meta(name: str) -> bool:
+    return name in (
+        "nspec", "dist_fit", "rad_prior", "fit_plx", "spectrum_weight",
+        "spectrum_backend", "median_iters", "eval_block", "matmul_passes",
+        "recip_newton", "rad_sigma_frac",
+    )
+
+
+def pad_packed_target_nd(tgt: PackedTarget, pad_nd: int) -> PackedTarget:
+    """Pad an already-packed target's data axis to ``pad_nd`` points.
+
+    Applies exactly the inert sentinel scheme ``pack_target(pad_nd=...)``
+    uses (tests pin field-for-field equality): padded points carry
+    ``err=inf`` / zero data / zero ``Vpinv`` columns / ``V`` rows [1,0,0] /
+    model sentinel 1e30, so medians, the renorm fit, and the residual sum
+    are unchanged.  Forces the XLA spectrum backend like pack-time padding
+    does (the Pallas kernel's median ranks are static).  Used to round
+    ``nd`` up to a multiple of the spec-mesh size.
+    """
+    nd = tgt.n_data
+    if pad_nd < nd:
+        raise ValueError(f"pad_nd={pad_nd} < current nd={nd}")
+    if pad_nd == nd:
+        return tgt
+    extra = pad_nd - nd
+    dt = tgt.data_flux.dtype
+    nT, nG, _ = tgt.D.shape
+    cat = lambda a, b, ax=0: jnp.concatenate([a, jnp.asarray(b, dt)], axis=ax)
+    return dataclasses.replace(
+        tgt,
+        spectrum_backend="xla",
+        D=cat(tgt.D, jnp.full((nT, nG, extra), 1e30), ax=2),
+        data_flux=cat(tgt.data_flux, jnp.zeros(extra)),
+        data_err=cat(tgt.data_err, jnp.full(extra, jnp.inf)),
+        ext_k_data=cat(tgt.ext_k_data, jnp.zeros(extra)),
+        V=cat(tgt.V, jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]], dt), (extra, 1))),
+        Vpinv=cat(tgt.Vpinv, jnp.zeros((3, extra)), ax=1),
+    )
+
+
+def shard_target_over_spec(
+    tgt: PackedTarget, mesh: Mesh, spec_axis: str = "spec"
+) -> PackedTarget:
+    """Place a packed target on ``mesh`` with the nd axis sharded.
+
+    ``tgt.n_data`` must divide the spec-mesh size — round up first with
+    :func:`pad_packed_target_nd` (or pack with ``pad_nd=``).
+    """
+    nshard = mesh.shape[spec_axis]
+    if tgt.n_data % nshard != 0:
+        raise ValueError(
+            f"n_data={tgt.n_data} not divisible by {nshard} '{spec_axis}' shards; "
+            f"pad first: pad_packed_target_nd(tgt, {-(-tgt.n_data // nshard) * nshard})"
+        )
+    specs = target_spec_tree(tgt, spec_axis)
+    return jax.tree_util.tree_map(
+        lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)), tgt, specs
+    )
+
+
+# --------------------------------------------------------------- local math
+def _dist_median_nonneg(model_local, n_true, axis: str):
+    """Exact np.median over the *global* wavelength axis, per row.
+
+    Mirrors ``pallas_kernels._row_median_nonneg(iters=31)``: a 31-pass
+    bisection of the non-negative f32 bit range driven by rank counts —
+    here the counts are ``psum``-med over the spec shards, which reproduces
+    the single-chip lo/hi trajectory bit-exactly.  ``n_true`` is the global
+    count of REAL points; fleet/spec padding carries sentinel model values
+    (~1e30) that sort above every real point, so rank ``(n_true+1)//2``
+    always lands on a real value (same convention as the XLA backend's
+    sorted-rank median, batched.py:127-131).
+
+    Unlike the single-chip helper, ``n_true``'s parity is traced (it is a
+    device scalar), so the even-rank refinement (one extra count pass + a
+    ``pmin``) always runs and a ``where`` selects.
+
+    Dtype-generic: f32 is the production path (31 passes over the int32 bit
+    range); f64 (the x64 CPU test lane — the sampler's proposal arithmetic
+    promotes) bisects the int64 bit range in 63 passes.
+    """
+    if model_local.dtype == jnp.float64:
+        itype, inf_bits, passes = jnp.int64, 0x7FF0000000000000, 63
+    else:
+        itype, inf_bits, passes = jnp.int32, _F32_INF_BITS, 31
+    mi = jax.lax.bitcast_convert_type(model_local, itype)
+    B = model_local.shape[0]
+    r1 = ((n_true + 1) // 2).astype(jnp.int32)  # 1-based lower-middle rank
+
+    lo = jnp.zeros((B, 1), itype)
+    hi = jnp.full((B, 1), inf_bits, itype)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = lo + ((hi - lo) >> 1)
+        cnt = jnp.sum((mi <= mid).astype(jnp.int32), axis=1, keepdims=True)
+        cnt = jax.lax.psum(cnt, axis)
+        ge = cnt >= r1
+        return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
+
+    _, v1 = jax.lax.fori_loop(0, passes, body, (lo, hi))
+    x1 = jax.lax.bitcast_convert_type(v1, model_local.dtype)
+
+    # upper middle (even n_true): equal to x1 if it repeats past rank r1,
+    # else the globally-next-larger element
+    cnt1 = jax.lax.psum(
+        jnp.sum((mi <= v1).astype(jnp.int32), axis=1, keepdims=True), axis
+    )
+    bigger = jnp.where(mi > v1, model_local, jnp.inf)
+    x2 = jax.lax.pmin(jnp.min(bigger, axis=1, keepdims=True), axis)
+    x2 = jnp.where(cnt1 >= r1 + 1, x1, x2)
+    med = jnp.where(n_true % 2 == 1, x1, 0.5 * (x1 + x2))
+    return med[:, 0]
+
+
+def _spec_chi2_psum(Wcomb, av, tgt: PackedTarget, axis: str, renorm: bool = True):
+    """Mean spectrum chi^2 with the wavelength axis sharded over ``axis``.
+
+    Same semantics as ``batched._spec_chi2_xla`` (renorm=True, the emcee
+    likelihood) / ``_spec_chi2_xla_median_only`` (renorm=False, the
+    annealer's convention): per-shard slices of the model, one psum each
+    for the renorm projection and the residual sum, distributed median.
+    """
+    nT, nG, ndl = tgt.D.shape  # ndl = local shard width
+    model = jnp.matmul(Wcomb, tgt.D.reshape(nT * nG, ndl), precision=_HI)
+    apply_ext = (av > 0)[:, None]
+    trans = jnp.where(
+        apply_ext,
+        jnp.exp((-0.4 * jnp.log(10.0)) * av[:, None] * tgt.ext_k_data[None, :]),
+        1.0,
+    )
+    model = model * trans
+    med = _dist_median_nonneg(model, tgt.n_data_true, axis)
+    model = model * (tgt.med_data / med)[:, None]
+    if renorm:
+        frac = tgt.data_flux[None, :] / model
+        coeffs = jax.lax.psum(jnp.matmul(frac, tgt.Vpinv.T, precision=_HI), axis)
+        data_ref = tgt.data_flux[None, :] / jnp.matmul(coeffs, tgt.V.T, precision=_HI)
+    else:
+        data_ref = tgt.data_flux[None, :]
+    resid2 = ((model - data_ref) / tgt.data_err) ** 2
+    resid2 = jnp.where(jnp.isfinite(resid2), resid2, 0.0)  # padded: err=inf
+    total = jax.lax.psum(jnp.sum(resid2, axis=1), axis)
+    return total / tgt.n_data_true.astype(model.dtype)
+
+
+def _local_log_posterior(p_local, tgt_local: PackedTarget, spec_axis: str):
+    """Per-shard body: spectrum term via psums, everything else replicated."""
+    from mcmc_spec_tpu.inference.batched import _forward_small
+
+    if tgt_local.spectrum_weight == 0.0:
+        chi_spec = jnp.zeros(p_local.shape[0], dtype=p_local.dtype)
+    else:
+        n = tgt_local.nspec
+        av = p_local[:, n]
+        *_, Wcomb = _forward_small(p_local, tgt_local)
+        chi_spec = _spec_chi2_psum(Wcomb, av, tgt_local, spec_axis)
+    return log_posterior_batch(p_local, tgt_local, chi_spec=chi_spec)
+
+
+# ------------------------------------------------------------- public API
+def make_spec_logpost(
+    tgt: PackedTarget, mesh: Mesh, spec_axis: str = "spec",
+    walker_axis: str | None = None,
+):
+    """Jitted ``fn(p, tgt) -> logp [nw]`` with the target spec-sharded.
+
+    ``walker_axis``: also shard the walker batch rows over that mesh axis
+    (2-D hybrid).  ``tgt`` must already be placed by
+    :func:`shard_target_over_spec` (it is only used here for its pytree
+    structure / statics; pass the same object at call time).
+    """
+    pspec = P(walker_axis) if walker_axis else P()
+    specs = target_spec_tree(tgt, spec_axis)
+    f = shard_map(
+        functools.partial(_local_log_posterior, spec_axis=spec_axis),
+        mesh=mesh,
+        in_specs=(pspec, specs),
+        out_specs=pspec,
+        check_vma=False,
+    )
+    return jax.jit(f)
+
+
+def shard_spec_ensemble_state(
+    coords, tgt: PackedTarget, key, mesh: Mesh,
+    walker_axis: str = "walkers", spec_axis: str = "spec",
+) -> EnsembleState:
+    """[2, nh, ndim] ensemble state for the 2-D (walkers, spec) mesh."""
+    nw, ndim = coords.shape
+    ndev = mesh.shape[walker_axis]
+    assert nw % (2 * ndev) == 0, f"nw={nw} must divide by 2*{ndev}"
+    logp_fn = make_spec_logpost(tgt, mesh, spec_axis, walker_axis=None)
+    logp2 = logp_fn(jnp.asarray(coords), tgt).reshape(2, nw // 2)
+    coords2 = jnp.asarray(coords).reshape(2, nw // 2, ndim)
+    sh = NamedSharding(mesh, P(None, walker_axis))
+    return EnsembleState(
+        jax.device_put(coords2, sh), jax.device_put(logp2, sh), key,
+        jnp.zeros((), jnp.int32),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "n_steps", "thin", "a", "walker_axis", "spec_axis"),
+)
+def run_ensemble_spec_sharded(
+    state: EnsembleState,
+    tgt: PackedTarget,
+    mesh: Mesh,
+    n_steps: int,
+    thin: int = 1,
+    a: float = 2.0,
+    walker_axis: str = "walkers",
+    spec_axis: str = "spec",
+):
+    """Full stretch-move chain on a 2-D (walkers, spec) mesh, one shard_map.
+
+    The sampler mechanics are ``parallel.sharding._half_update_local``
+    verbatim (complement ``all_gather`` + RNG fold over the WALKER axis
+    only, so the proposal stream is identical on every spec shard); the
+    log-posterior inside is the psum composition above.  Returns
+    ``(final_state, chain, logps)`` shaped like ``run_ensemble_sharded``.
+    """
+    n_keep = max(n_steps // thin, 1)
+    pc = P(None, walker_axis)
+    in_specs = (pc, pc, P(), P(), target_spec_tree(tgt, spec_axis))
+    out_specs = (
+        (pc, pc, P(), P()),
+        (P(None, None, walker_axis), P(None, None, walker_axis)),
+    )
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+    def scan_chain(coords2, logp2, key, n_acc, t):
+        logp_local = lambda q: _local_log_posterior(q, t, spec_axis)
+
+        def one_step(carry, _):
+            coords2, logp2, key, n_acc = carry
+            key, sub = jax.random.split(key)
+            coords2, logp2, sub, n_acc = _half_update_local(
+                coords2, logp2, sub, n_acc, 0, logp_local, a, walker_axis
+            )
+            coords2, logp2, sub, n_acc = _half_update_local(
+                coords2, logp2, sub, n_acc, 1, logp_local, a, walker_axis
+            )
+            return (coords2, logp2, key, n_acc), None
+
+        def outer(carry, _):
+            carry, _ = jax.lax.scan(one_step, carry, None, length=thin)
+            return carry, (carry[0], carry[1])
+
+        carry, chain = jax.lax.scan(
+            outer, (coords2, logp2, key, n_acc), None, length=n_keep
+        )
+        return carry, chain
+
+    (coords2, logp2, key, n_acc), (chain, logps) = scan_chain(
+        state.coords, state.log_prob, state.key, state.n_accept, tgt
+    )
+    return EnsembleState(coords2, logp2, key, n_acc), chain, logps

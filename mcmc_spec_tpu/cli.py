@@ -5,7 +5,9 @@ Flag-compatible with the reference CLI (``mft6.py:3450-3456``, README):
 stage.  Extensions: ``--nospec`` reproduces ``mft6_nospec.py`` as a flag
 instead of a file fork (spectrum chi^2 weight -> 0), ``--noplots`` skips
 report rendering, ``--dtype`` selects the device precision, ``--mesh``
-controls multi-device sharding (``auto`` default / ``off``), and repeating
+controls multi-device sharding (``auto`` default / ``off`` / ``WxS`` — an
+explicit 2-D walkers-by-spec mesh that also shards the wavelength axis of
+the packed target, for grids larger than one chip's HBM), and repeating
 ``-f`` fits all the named targets as one fleet in a single jitted program
 (the reference runs one process per KOI).
 """
@@ -54,14 +56,21 @@ def main(argv=None):
         elif key == "--dtype":
             dtype = {"float32": jnp.float32, "float64": jnp.float64}[val]
         elif key == "--mesh":
-            try:
-                mesh = {"auto": "auto", "off": None, "none": None}[val.lower()]
-            except KeyError:
-                raise SystemExit(f"--mesh must be 'auto' or 'off', got {val!r}")
+            # auto (1-D walker mesh), off, or WxS (2-D walkers x spec mesh —
+            # spectral model parallelism for grids larger than one chip's HBM)
+            low = val.lower()
+            if low in ("auto", "off", "none"):
+                mesh = "auto" if low == "auto" else None
+            elif "x" in low and low.replace("x", "").isdigit():
+                mesh = low
+            else:
+                raise SystemExit(
+                    f"--mesh must be 'auto', 'off', or WxS (e.g. 4x2), got {val!r}"
+                )
     if not parfiles:
         raise SystemExit(
             "usage: -f paramfile [-f paramfile2 ...] [-o True|False] "
-            "[-e True|False] [--nospec] [--mesh auto|off]"
+            "[-e True|False] [--nospec] [--mesh auto|off|WxS]"
         )
 
     # before the first dispatch: repeat runs of the same config skip the
@@ -99,7 +108,7 @@ def main(argv=None):
     ctx = setup_context(cfgs[0], dtype=dtype)
 
     if do_opt == "True":
-        run_optimize_stage(ctx)
+        run_optimize_stage(ctx, mesh=mesh)
         if not noplots:
             from mcmc_spec_tpu.report.plots import plot_fit
 

@@ -93,6 +93,12 @@ def resolve_fleet_mesh(mesh, ntgt: int, nw: int):
         return mesh
     if not mesh:
         return None
+    if isinstance(mesh, str) and "x" in mesh and mesh.replace("x", "").isdigit():
+        raise ValueError(
+            "an explicit WxS (walkers, spec) mesh is single-target only; "
+            "fleet mode shards (targets, walkers) — use --mesh auto, or fit "
+            "the spec-sharded target alone"
+        )
     devices = jax.devices()
     ndev = len(devices)
     if ndev <= 1:

@@ -113,7 +113,20 @@ def run_anneal(
     (params, chi) snapshot for the optimizer-diagnostic plots
     (the reference's ``params{n}.txt``/``chisq{n}.txt`` traces).
     """
-    p0 = jnp.asarray(p0)
+    chi_fn = lambda p, rs: optimizer_chi2_batch(p, tgt, rad_sigma=rs)
+    return _anneal_scan(tgt, jnp.asarray(p0), key, steps, record_thin, chi_fn)
+
+
+def _anneal_scan(tgt, p0, key, steps, record_thin, chi_fn):
+    """The annealing schedule with a pluggable chi^2.
+
+    ``chi_fn(p, rad_sigma) -> [nw]`` defaults to ``optimizer_chi2_batch``
+    (:func:`run_anneal`); the spectral-sharded path
+    (``parallel.spec_shard.run_anneal_spec_sharded``) threads a psum-reduced
+    variant and calls this per walker shard inside ``shard_map`` — the
+    walkers are fully independent, so the schedule itself needs no
+    collectives.
+    """
     nw, ndim = p0.shape
     max_iters = 50 * steps
 
@@ -126,7 +139,7 @@ def run_anneal(
 
     # initial chi^2 uses the 5%-of-guess radius-prior sigma (mft6.py:918);
     # in-loop proposals use the current step sigmas (mft6.py:1042)
-    chi0 = optimizer_chi2_batch(p0, tgt, rad_sigma=None)
+    chi0 = chi_fn(p0, None)
     state = AnnealState(
         params=p0,
         chi=chi0,
@@ -146,7 +159,7 @@ def run_anneal(
         proposal = _fix_triple_ratio(tgt, proposal)
         ok = _in_bounds(tgt, proposal)
 
-        chi_new = optimizer_chi2_batch(proposal, tgt, rad_sigma=sig[:, rad_slice])
+        chi_new = chi_fn(proposal, sig[:, rad_slice])
         better = ok & (chi_new < state.chi) & active
 
         params = jnp.where(better[:, None], proposal, state.params)

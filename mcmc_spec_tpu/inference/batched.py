@@ -317,10 +317,13 @@ def log_posterior_batch(p, tgt: PackedTarget, chi_spec=None):
     return jnp.where(jnp.isfinite(lp), lp + ll, -jnp.inf)
 
 
-def optimizer_chi2_batch(p, tgt: PackedTarget, rad_sigma=None):
+def optimizer_chi2_batch(p, tgt: PackedTarget, rad_sigma=None, chi_spec=None):
     """Batched ``fit_spec`` chi^2 (x3 spectrum weight + chi^2-convention priors).
 
     ``rad_sigma``: [nw, n_rad] step-size sigmas from the annealer (mft6.py:1042).
+    ``chi_spec``: optionally precomputed mean spectrum chi^2 in the annealer's
+    median-only convention (the spectral-sharded path computes it with psums
+    and an exact distributed median — ``parallel.spec_shard``).
     """
     n = tgt.nspec
     teffs, av, r1, ratios, plx = _unpack_batch(p, tgt)
@@ -334,11 +337,11 @@ def optimizer_chi2_batch(p, tgt: PackedTarget, rad_sigma=None):
     # emcee-stage (renorm) path, where the tempering bound applies, keeps
     # it.  Static meta swap: no runtime cost beyond the per-pass kernel
     # work in a stage that is ~1 s total.
-    if tgt.median_iters not in (0, 31):
+    if chi_spec is None and tgt.median_iters not in (0, 31):
         import dataclasses
 
         tgt = dataclasses.replace(tgt, median_iters=31)
-    cs = chi2_total_batch(p, tgt, spec_mult=3.0, renorm=False)
+    cs = chi2_total_batch(p, tgt, spec_mult=3.0, chi_spec=chi_spec, renorm=False)
 
     if tgt.fit_plx:
         dist_pc = 1.0 / jnp.maximum(plx, 1e-12)

@@ -237,6 +237,25 @@ def _spec_chi2_psum(Wcomb, av, tgt: PackedTarget, axis: str, renorm: bool = True
     return total / tgt.n_data_true.astype(model.dtype)
 
 
+def _local_optimizer_chi2(p_local, rad_sigma, tgt_local: PackedTarget, spec_axis: str):
+    """Per-shard annealer chi^2: the median-only spectrum term via psums.
+
+    The annealer always scores with the EXACT median (its renorm=False
+    convention has no alpha^2 protection — see ``batched.optimizer_chi2_batch``);
+    the distributed median here is exact by construction.
+    """
+    from mcmc_spec_tpu.inference.batched import _forward_small, optimizer_chi2_batch
+
+    if tgt_local.spectrum_weight == 0.0:
+        chi_spec = jnp.zeros(p_local.shape[0], dtype=p_local.dtype)
+    else:
+        av = p_local[:, tgt_local.nspec]
+        *_, Wcomb = _forward_small(p_local, tgt_local)
+        chi_spec = _spec_chi2_psum(Wcomb, av, tgt_local, spec_axis, renorm=False)
+    return optimizer_chi2_batch(p_local, tgt_local, rad_sigma=rad_sigma,
+                                chi_spec=chi_spec)
+
+
 def _local_log_posterior(p_local, tgt_local: PackedTarget, spec_axis: str):
     """Per-shard body: spectrum term via psums, everything else replicated."""
     from mcmc_spec_tpu.inference.batched import _forward_small
@@ -291,6 +310,52 @@ def shard_spec_ensemble_state(
         jax.device_put(coords2, sh), jax.device_put(logp2, sh), key,
         jnp.zeros((), jnp.int32),
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "steps", "record_thin", "walker_axis", "spec_axis"),
+)
+def run_anneal_spec_sharded(
+    tgt: PackedTarget,
+    p0,
+    key,
+    mesh: Mesh,
+    steps: int = 200,
+    record_thin: int = 0,
+    walker_axis: str = "walkers",
+    spec_axis: str = "spec",
+):
+    """Stage-1 annealer on a 2-D (walkers, spec) mesh.
+
+    The annealing schedule (``inference.anneal._anneal_scan``) runs per
+    walker shard — walkers are fully independent, so the only collective is
+    the spectrum term's psums.  The RNG key folds in the walker-shard index
+    (identical across spec shards, like the ensemble sampler), so the
+    proposal stream differs from single-device ``run_anneal`` in layout but
+    not in distribution.  Returns (params [nw, ndim], chi [nw], trace).
+    """
+    from mcmc_spec_tpu.inference.anneal import _anneal_scan
+
+    pw = P(walker_axis)
+    in_specs = (target_spec_tree(tgt, spec_axis), pw, P())
+    if record_thin:
+        out_specs = (pw, pw, (P(None, walker_axis), P(None, walker_axis)))
+    else:
+        out_specs = (pw, pw)
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+    def local(t, p0_local, key):
+        me = jax.lax.axis_index(walker_axis)
+        chi_fn = lambda p, rs: _local_optimizer_chi2(p, rs, t, spec_axis)
+        params, chi, trace = _anneal_scan(
+            t, p0_local, jax.random.fold_in(key, me), steps, record_thin, chi_fn
+        )
+        return (params, chi, trace) if record_thin else (params, chi)
+
+    out = local(tgt, jnp.asarray(p0), key)
+    return out if record_thin else (out[0], out[1], None)
 
 
 @functools.partial(

@@ -307,8 +307,14 @@ def make_synthetic_observation(
     return ctx.data_wl_um, flux + err, err, p
 
 
-def run_optimize_stage(ctx: FitContext, record_thin: int = 500) -> None:
-    """Stage 1: vmapped annealing over nwalk walkers (mft6.py:1686-1765)."""
+def run_optimize_stage(ctx: FitContext, record_thin: int = 500, mesh=None) -> None:
+    """Stage 1: vmapped annealing over nwalk walkers (mft6.py:1686-1765).
+
+    ``mesh``: optional — a ``(walkers, spec)`` mesh (or ``"WxS"`` string)
+    runs the annealer spectral-sharded (grids larger than one chip's HBM);
+    walkers-only meshes are unnecessary here (the annealer has no cross-walker
+    communication, so a single jit already data-parallelizes) and are ignored.
+    """
     from mcmc_spec_tpu.utils.runlog import RunLog
 
     cfg = ctx.cfg
@@ -317,9 +323,29 @@ def run_optimize_stage(ctx: FitContext, record_thin: int = 500) -> None:
     key = jax.random.PRNGKey(cfg.seed)
     k_init, k_run = jax.random.split(key)
     p0 = init_walkers(ctx.target, cfg.nwalk, cfg.plx, cfg.plx_err, k_init)
-    params, chi, trace = run_anneal(
-        ctx.target, p0, k_run, steps=cfg.nstep, record_thin=record_thin
-    )
+    use_mesh = resolve_mesh(mesh, cfg.nwalk) if (
+        isinstance(mesh, str) and "x" in mesh) else mesh
+    if use_mesh is not None and "spec" in getattr(use_mesh, "axis_names", ()):
+        from mcmc_spec_tpu.parallel.spec_shard import (
+            pad_packed_target_nd,
+            run_anneal_spec_sharded,
+            shard_target_over_spec,
+        )
+
+        nsp = use_mesh.shape["spec"]
+        tgt_sp = shard_target_over_spec(
+            pad_packed_target_nd(ctx.target, -(-ctx.target.n_data // nsp) * nsp),
+            use_mesh,
+        )
+        print(f"[optimize] spectral-sharded annealer over mesh "
+              f"{dict(zip(use_mesh.axis_names, use_mesh.devices.shape))}")
+        params, chi, trace = run_anneal_spec_sharded(
+            tgt_sp, p0, k_run, use_mesh, steps=cfg.nstep, record_thin=record_thin
+        )
+    else:
+        params, chi, trace = run_anneal(
+            ctx.target, p0, k_run, steps=cfg.nstep, record_thin=record_thin
+        )
     params, chi = np.asarray(params), np.asarray(chi)
     results_io.write_optimize_results(cfg.dirname, params, chi)
     if trace is not None:
@@ -345,8 +371,10 @@ def resolve_mesh(mesh, nw: int):
 
     ``mesh`` may be a :class:`jax.sharding.Mesh` (used as-is), ``"auto"``
     (1-D walker mesh over as many devices as evenly divide the red/black
-    halves, or single-device when only one device exists), or falsy (single
-    device).
+    halves, or single-device when only one device exists), ``"WxS"``
+    (e.g. ``"4x2"``: an explicit 2-D ``(walkers, spec)`` mesh — spectral
+    model parallelism, :mod:`mcmc_spec_tpu.parallel.spec_shard`), or falsy
+    (single device).
     """
     from jax.sharding import Mesh
 
@@ -354,8 +382,21 @@ def resolve_mesh(mesh, nw: int):
         return mesh
     if not mesh:
         return None
+    if isinstance(mesh, str) and "x" in mesh and mesh.replace("x", "").isdigit():
+        w, s = (int(t) for t in mesh.split("x", 1))
+        devices = jax.devices()
+        if w * s > len(devices):
+            raise ValueError(
+                f"mesh {mesh!r} needs {w * s} devices, have {len(devices)}")
+        if nw % (2 * w) != 0:
+            raise ValueError(
+                f"nw={nw} walkers must divide by 2*{w} for mesh {mesh!r}")
+        from jax.sharding import Mesh as _Mesh
+
+        return _Mesh(np.asarray(devices[: w * s]).reshape(w, s),
+                     ("walkers", "spec"))
     if mesh != "auto":
-        raise ValueError(f"mesh must be a Mesh, 'auto', or falsy; got {mesh!r}")
+        raise ValueError(f"mesh must be a Mesh, 'auto', 'WxS', or falsy; got {mesh!r}")
     devices = jax.devices()
     ndev = len(devices)
     while ndev > 1 and nw % (2 * ndev) != 0:
@@ -375,13 +416,32 @@ class _EnsembleDriver:
     layout, so checkpoints written on one device count resume on any other.
     """
 
-    def __init__(self, log_prob_fn, mesh=None):
+    def __init__(self, log_prob_fn, mesh=None, target=None):
         self.logp = log_prob_fn
         self.mesh = mesh
+        self.spec = mesh is not None and "spec" in mesh.axis_names
+        if self.spec:
+            # spectral model parallelism: the packed target itself shards
+            # over the spec axis (nd rounded up with inert sentinel padding)
+            from mcmc_spec_tpu.parallel.spec_shard import (
+                pad_packed_target_nd,
+                shard_target_over_spec,
+            )
+
+            if target is None:
+                raise ValueError("a (walkers, spec) mesh needs the packed target")
+            nsp = mesh.shape["spec"]
+            padded = pad_packed_target_nd(
+                target, -(-target.n_data // nsp) * nsp)
+            self.tgt_sp = shard_target_over_spec(padded, mesh)
 
     def init(self, coords, key):
         if self.mesh is None:
             return init_ensemble(coords, self.logp, key)
+        if self.spec:
+            from mcmc_spec_tpu.parallel.spec_shard import shard_spec_ensemble_state
+
+            return shard_spec_ensemble_state(coords, self.tgt_sp, key, self.mesh)
         from mcmc_spec_tpu.parallel.sharding import shard_ensemble_state
 
         return shard_ensemble_state(coords, self.logp, key, self.mesh)
@@ -391,11 +451,18 @@ class _EnsembleDriver:
         if self.mesh is None:
             state, chain, _ = run_ensemble(state, self.logp, n_steps=n_steps, thin=thin)
             return state, np.asarray(jax.device_get(chain))
-        from mcmc_spec_tpu.parallel.sharding import run_ensemble_sharded
+        if self.spec:
+            from mcmc_spec_tpu.parallel.spec_shard import run_ensemble_spec_sharded
 
-        state, chain, _ = run_ensemble_sharded(
-            state, self.logp, self.mesh, n_steps=n_steps, thin=thin
-        )
+            state, chain, _ = run_ensemble_spec_sharded(
+                state, self.tgt_sp, self.mesh, n_steps=n_steps, thin=thin
+            )
+        else:
+            from mcmc_spec_tpu.parallel.sharding import run_ensemble_sharded
+
+            state, chain, _ = run_ensemble_sharded(
+                state, self.logp, self.mesh, n_steps=n_steps, thin=thin
+            )
         chain = np.asarray(jax.device_get(chain))  # [n_keep, 2, nh, ndim]
         return state, chain.reshape(chain.shape[0], -1, chain.shape[-1])
 
@@ -448,7 +515,7 @@ def run_mcmc_stage(
     if use_mesh is not None:
         print(f"[mcmc] sharding {p0.shape[0]} walkers over "
               f"{use_mesh.devices.size} devices")
-    driver = _EnsembleDriver(logp, use_mesh)
+    driver = _EnsembleDriver(logp, use_mesh, target=tgt)
     key = jax.random.PRNGKey(cfg.seed + 1)
     ckpt_path = os.path.join(cfg.dirname, "chain_checkpoint.npz")
     store = results_io.ChainStore(cfg.dirname)

@@ -200,6 +200,46 @@ class TestPipelineWiring:
             _EnsembleDriver(lambda q: q, resolve_mesh("2x4", 64))
 
 
+class TestSpecCollectiveStructure:
+    """Structural receipt for the sp memory claim: the compiled spec-sharded
+    programs reduce with all-reduces (psums of counts, Gram products, chi^2
+    partials) and NEVER all-gather wavelength-sized data — the full model
+    row must not materialize on any chip (that is the point of the axis).
+    Same virtual-mesh methodology as TestShardedCollectiveStructure in
+    test_fleet_pipeline.py."""
+
+    def test_logpost_program_has_no_gather(self, small_target):
+        tgt, _, coords = small_target
+        mesh = spec_mesh()
+        tgt_sh = shard_target_over_spec(tgt, mesh)
+        fn = make_spec_logpost(tgt_sh, mesh)
+        hlo = fn.lower(coords, tgt_sh).compile().as_text()
+        assert "all-reduce" in hlo
+        assert "all-gather" not in hlo
+        assert "all-to-all" not in hlo and "collective-permute" not in hlo
+
+    def test_chain_gathers_only_walker_coords(self, small_target):
+        # the 2-D chain's only all-gather is the stretch move's complement
+        # coordinates ([nh, ndim] over the walker axis) — nothing
+        # wavelength-sized crosses the mesh
+        import re
+
+        tgt, _, coords = small_target
+        mesh = mesh_2d(4, 2)
+        tgt_sh = shard_target_over_spec(tgt, mesh)
+        state = shard_spec_ensemble_state(coords, tgt_sh, jax.random.PRNGKey(0), mesh)
+        lowered = jax.jit(
+            lambda s, t: run_ensemble_spec_sharded(s, t, mesh, n_steps=2, thin=2)
+        ).lower(state, tgt_sh)
+        hlo = lowered.compile().as_text()
+        assert "all-reduce" in hlo and "all-gather" in hlo
+        nd = tgt.n_data
+        for line in hlo.splitlines():
+            if "all-gather" in line:
+                dims = [int(d) for d in re.findall(r"\d+", line.split("=")[0])]
+                assert not any(d >= nd for d in dims), line
+
+
 class TestSpecAnnealer:
     def test_anneal_spec_sharded(self, small_target):
         # stage 1 on the (walkers, spec) mesh: the psum'd median-only chi^2

@@ -58,15 +58,21 @@ def main(argv=None):
         elif key == "--mesh":
             # auto (1-D walker mesh), off, or WxS (2-D walkers x spec mesh —
             # spectral model parallelism for grids larger than one chip's HBM)
+            from mcmc_spec_tpu.parallel.mesh import parse_wxs
+
             low = val.lower()
             if low in ("auto", "off", "none"):
                 mesh = "auto" if low == "auto" else None
-            elif "x" in low and low.replace("x", "").isdigit():
-                mesh = low
             else:
-                raise SystemExit(
-                    f"--mesh must be 'auto', 'off', or WxS (e.g. 4x2), got {val!r}"
-                )
+                try:
+                    wxs = parse_wxs(low)
+                except ValueError as e:
+                    raise SystemExit(f"--mesh: {e}")
+                if wxs is None:
+                    raise SystemExit(
+                        f"--mesh must be 'auto', 'off', or WxS (e.g. 4x2), got {val!r}"
+                    )
+                mesh = low
     if not parfiles:
         raise SystemExit(
             "usage: -f paramfile [-f paramfile2 ...] [-o True|False] "

@@ -93,7 +93,10 @@ def resolve_fleet_mesh(mesh, ntgt: int, nw: int):
         return mesh
     if not mesh:
         return None
-    if isinstance(mesh, str) and "x" in mesh and mesh.replace("x", "").isdigit():
+    from mcmc_spec_tpu.parallel.mesh import parse_wxs
+
+    # parse_wxs also raises on malformed WxS-shaped strings ("0x2", "4x")
+    if parse_wxs(mesh) is not None:
         raise ValueError(
             "an explicit WxS (walkers, spec) mesh is single-target only; "
             "fleet mode shards (targets, walkers) — use --mesh auto, or fit "

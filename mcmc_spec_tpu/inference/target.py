@@ -165,6 +165,34 @@ jax.tree_util.register_dataclass(
 )
 
 
+def pad_nd_arrays(D, data_flux, data_err, ext_k_data, V, Vpinv, extra: int):
+    """Inert sentinel padding of the data-wavelength axis (host numpy).
+
+    The single sentinel scheme behind pack-time ``pad_nd`` and post-pack
+    ``parallel.spec_shard.pad_packed_target_nd``: padded points carry
+    ``err=inf`` / zero data / zero ``Vpinv`` columns / ``V`` rows [1,0,0] /
+    model sentinel 1e30, so medians (rank-based over real points), the
+    renorm fit (padded rows contribute nothing; padded ``data_renorm`` is
+    0/c0 = 0), and the residual sum (0/inf = 0) are unchanged.  Pads are
+    built in each array's own dtype — pure numpy, per the host-numpy rule
+    (CLAUDE.md: one jnp dispatch costs ~0.4 s through the remote-compile
+    tunnel, and staging a padded full-size D on one device defeats
+    spectral sharding's larger-than-HBM purpose).
+    """
+    nT, nG, _ = D.shape
+    D = np.concatenate([D, np.full((nT, nG, extra), 1e30, dtype=D.dtype)], axis=2)
+    data_flux = np.concatenate([data_flux, np.zeros(extra, dtype=data_flux.dtype)])
+    data_err = np.concatenate(
+        [data_err, np.full(extra, np.inf, dtype=data_err.dtype)])
+    ext_k_data = np.concatenate(
+        [ext_k_data, np.zeros(extra, dtype=ext_k_data.dtype)])
+    V = np.concatenate(
+        [V, np.tile(np.asarray([[1.0, 0.0, 0.0]], dtype=V.dtype), (extra, 1))],
+        axis=0)
+    Vpinv = np.concatenate([Vpinv, np.zeros((3, extra), dtype=Vpinv.dtype)], axis=1)
+    return D, data_flux, data_err, ext_k_data, V, Vpinv
+
+
 def pack_target(
     grid: SpectralGrid,
     data_wl_um: np.ndarray,
@@ -248,17 +276,10 @@ def pack_target(
     backend = "auto"
 
     if pad_nd is not None and pad_nd > n_data_true:
-        extra = pad_nd - n_data_true
         backend = "xla"
-        D = np.concatenate([D, np.full((nT, nG, extra), 1e30)], axis=2)
-        data_flux = np.concatenate([data_flux, np.zeros(extra)])
-        data_err = np.concatenate([data_err, np.full(extra, np.inf)])
-        ext_k_data = np.concatenate([ext_k_data, np.zeros(extra)])
-        # renorm: padded rows contribute nothing to the fit (Vpinv cols = 0)
-        # and evaluate to the constant coefficient (V row = [1,0,0]) so the
-        # padded data_renorm is 0/c0 = 0 and the padded residual is 0/inf = 0
-        V = np.concatenate([V, np.tile([[1.0, 0.0, 0.0]], (extra, 1))], axis=0)
-        Vpinv = np.concatenate([Vpinv, np.zeros((3, extra))], axis=1)
+        D, data_flux, data_err, ext_k_data, V, Vpinv = pad_nd_arrays(
+            D, data_flux, data_err, ext_k_data, V, Vpinv, pad_nd - n_data_true
+        )
     if pad_nc is not None and pad_nc > n_contrast_true:
         extra = pad_nc - n_contrast_true
         backend = "xla"

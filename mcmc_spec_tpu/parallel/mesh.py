@@ -21,6 +21,33 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def parse_wxs(mesh) -> tuple[int, int] | None:
+    """Parse a ``"WxS"`` 2-D mesh string into ``(walkers, spec)`` counts.
+
+    Returns ``None`` when ``mesh`` is not WxS-shaped at all (not a string,
+    or not digits-and-'x'), so callers can fall through to the other mesh
+    spellings (``"auto"``, a :class:`Mesh`, falsy).  Raises ``ValueError``
+    with a usable message for WxS-shaped but malformed strings (``"0x2"``,
+    ``"4x"``, ``"2x2x2"``) instead of letting them crash downstream as
+    ``ZeroDivisionError`` / ``int()`` tracebacks.  The single parser behind
+    ``cli.py --mesh``, ``pipeline.resolve_mesh``, and the fleet-mode
+    rejection — validation and parsing cannot disagree.
+    """
+    if not (isinstance(mesh, str) and "x" in mesh and mesh.replace("x", "").isdigit()):
+        return None
+    parts = mesh.split("x")
+    if len(parts) != 2 or not all(p.isdigit() for p in parts):
+        raise ValueError(
+            f"mesh must be WxS with two positive integers (e.g. 4x2), got {mesh!r}"
+        )
+    w, s = int(parts[0]), int(parts[1])
+    if w < 1 or s < 1:
+        raise ValueError(
+            f"mesh {mesh!r}: both walker and spec counts must be >= 1"
+        )
+    return w, s
+
+
 def make_mesh(n_devices: int | None = None, axis_names=("walkers",), devices=None) -> Mesh:
     """1-D (or reshaped N-D) mesh over the first ``n_devices`` devices.
 

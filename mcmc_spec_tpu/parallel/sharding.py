@@ -112,11 +112,23 @@ def run_ensemble_sharded(
     return _sharded_steps(state, log_prob_fn, mesh, n_steps, thin, a, axis)
 
 
-def _sharded_steps(state, log_prob_fn, mesh, n_steps, thin, a, axis):
+def _sharded_steps(state, log_prob_fn, mesh, n_steps, thin, a, axis,
+                   extra=None, extra_specs=None, logp_factory=None):
+    """Whole stretch chain in one shard_map over the walker axis.
+
+    ``extra`` / ``extra_specs`` / ``logp_factory``: optional additional
+    shard_map input (a pytree, e.g. a spec-sharded ``PackedTarget``) with
+    its PartitionSpec tree, and a factory building the per-shard log-prob
+    from the local view of that input.  This is how
+    ``parallel.spec_shard.run_ensemble_spec_sharded`` reuses the sampler
+    loop on a 2-D (walkers, spec) mesh instead of duplicating it.
+    """
     n_keep = max(n_steps // thin, 1)
 
     pspec_coords = P(None, axis)
     in_specs = (pspec_coords, pspec_coords, P(), P())
+    if extra is not None:
+        in_specs = in_specs + (extra_specs,)
     out_specs = (
         (pspec_coords, pspec_coords, P(), P()),
         (P(None, None, axis), P(None, None, axis)),
@@ -124,15 +136,17 @@ def _sharded_steps(state, log_prob_fn, mesh, n_steps, thin, a, axis):
 
     @functools.partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
                        check_vma=False)
-    def scan_chain(coords2, logp2, key, n_acc):
+    def scan_chain(coords2, logp2, key, n_acc, *rest):
+        logp = logp_factory(rest[0]) if logp_factory is not None else log_prob_fn
+
         def one_step(carry, _):
             coords2, logp2, key, n_acc = carry
             key, sub = jax.random.split(key)
             coords2, logp2, sub, n_acc = _half_update_local(
-                coords2, logp2, sub, n_acc, 0, log_prob_fn, a, axis
+                coords2, logp2, sub, n_acc, 0, logp, a, axis
             )
             coords2, logp2, sub, n_acc = _half_update_local(
-                coords2, logp2, sub, n_acc, 1, log_prob_fn, a, axis
+                coords2, logp2, sub, n_acc, 1, logp, a, axis
             )
             return (coords2, logp2, key, n_acc), None
 
@@ -143,7 +157,8 @@ def _sharded_steps(state, log_prob_fn, mesh, n_steps, thin, a, axis):
         carry, chain = jax.lax.scan(outer, (coords2, logp2, key, n_acc), None, length=n_keep)
         return carry, chain
 
-    (coords2, logp2, key, n_acc), (chain, logps) = scan_chain(
-        state.coords, state.log_prob, state.key, state.n_accept
-    )
+    args = (state.coords, state.log_prob, state.key, state.n_accept)
+    if extra is not None:
+        args = args + (extra,)
+    (coords2, logp2, key, n_acc), (chain, logps) = scan_chain(*args)
     return EnsembleState(coords2, logp2, key, n_acc), chain, logps

@@ -57,8 +57,6 @@ from mcmc_spec_tpu.inference.batched import _HI, log_posterior_batch
 from mcmc_spec_tpu.inference.stretch import EnsembleState
 from mcmc_spec_tpu.inference.target import PackedTarget
 from mcmc_spec_tpu.ops.pallas_kernels import _F32_INF_BITS
-from mcmc_spec_tpu.parallel.sharding import _half_update_local
-
 # PackedTarget data fields carrying the data-wavelength axis, with the axis
 # position ``nd`` occupies in each (everything else is replicated).
 _SPEC_AXIS_FIELDS = {
@@ -103,31 +101,38 @@ def pad_packed_target_nd(tgt: PackedTarget, pad_nd: int) -> PackedTarget:
     """Pad an already-packed target's data axis to ``pad_nd`` points.
 
     Applies exactly the inert sentinel scheme ``pack_target(pad_nd=...)``
-    uses (tests pin field-for-field equality): padded points carry
-    ``err=inf`` / zero data / zero ``Vpinv`` columns / ``V`` rows [1,0,0] /
-    model sentinel 1e30, so medians, the renorm fit, and the residual sum
-    are unchanged.  Forces the XLA spectrum backend like pack-time padding
-    does (the Pallas kernel's median ranks are static).  Used to round
-    ``nd`` up to a multiple of the spec-mesh size.
+    uses — the shared ``target.pad_nd_arrays`` helper (tests pin
+    field-for-field equality): medians, the renorm fit, and the residual
+    sum are unchanged.  Forces the XLA spectrum backend like pack-time
+    padding does (the Pallas kernel's median ranks are static).  Used to
+    round ``nd`` up to a multiple of the spec-mesh size.
+
+    The concatenation runs in HOST numpy and the padded fields are
+    returned as host arrays cast to the target dtype:
+    ``shard_target_over_spec``'s ``device_put`` then sends each device
+    only its shard, so the full padded ``D`` is never staged on one device
+    (the whole point of spectral sharding) and no per-field jnp dispatch
+    goes through the remote-compile tunnel (CLAUDE.md host-numpy rule).
     """
+    from mcmc_spec_tpu.inference.target import pad_nd_arrays
+
     nd = tgt.n_data
     if pad_nd < nd:
         raise ValueError(f"pad_nd={pad_nd} < current nd={nd}")
     if pad_nd == nd:
         return tgt
-    extra = pad_nd - nd
-    dt = tgt.data_flux.dtype
-    nT, nG, _ = tgt.D.shape
-    cat = lambda a, b, ax=0: jnp.concatenate([a, jnp.asarray(b, dt)], axis=ax)
+    dt = np.dtype(tgt.data_flux.dtype)
+    D, data_flux, data_err, ext_k_data, V, Vpinv = pad_nd_arrays(
+        np.asarray(tgt.D), np.asarray(tgt.data_flux, dt),
+        np.asarray(tgt.data_err, dt), np.asarray(tgt.ext_k_data, dt),
+        np.asarray(tgt.V, dt), np.asarray(tgt.Vpinv, dt),
+        pad_nd - nd,
+    )
     return dataclasses.replace(
         tgt,
         spectrum_backend="xla",
-        D=cat(tgt.D, jnp.full((nT, nG, extra), 1e30), ax=2),
-        data_flux=cat(tgt.data_flux, jnp.zeros(extra)),
-        data_err=cat(tgt.data_err, jnp.full(extra, jnp.inf)),
-        ext_k_data=cat(tgt.ext_k_data, jnp.zeros(extra)),
-        V=cat(tgt.V, jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]], dt), (extra, 1))),
-        Vpinv=cat(tgt.Vpinv, jnp.zeros((3, extra)), ax=1),
+        D=D, data_flux=data_flux, data_err=data_err,
+        ext_k_data=ext_k_data, V=V, Vpinv=Vpinv,
     )
 
 
@@ -374,46 +379,19 @@ def run_ensemble_spec_sharded(
 ):
     """Full stretch-move chain on a 2-D (walkers, spec) mesh, one shard_map.
 
-    The sampler mechanics are ``parallel.sharding._half_update_local``
-    verbatim (complement ``all_gather`` + RNG fold over the WALKER axis
-    only, so the proposal stream is identical on every spec shard); the
-    log-posterior inside is the psum composition above.  Returns
+    The sampler mechanics are ``parallel.sharding._sharded_steps`` — the
+    SAME scan/half-update loop as the walkers-only chain (complement
+    ``all_gather`` + RNG fold over the WALKER axis only, so the proposal
+    stream is identical on every spec shard) — with the spec-sharded
+    target threaded in as the extra shard_map input and the psum
+    composition above as its per-shard log-posterior.  Returns
     ``(final_state, chain, logps)`` shaped like ``run_ensemble_sharded``.
     """
-    n_keep = max(n_steps // thin, 1)
-    pc = P(None, walker_axis)
-    in_specs = (pc, pc, P(), P(), target_spec_tree(tgt, spec_axis))
-    out_specs = (
-        (pc, pc, P(), P()),
-        (P(None, None, walker_axis), P(None, None, walker_axis)),
+    from mcmc_spec_tpu.parallel.sharding import _sharded_steps
+
+    return _sharded_steps(
+        state, None, mesh, n_steps, thin, a, walker_axis,
+        extra=tgt,
+        extra_specs=target_spec_tree(tgt, spec_axis),
+        logp_factory=lambda t: (lambda q: _local_log_posterior(q, t, spec_axis)),
     )
-
-    @functools.partial(shard_map, mesh=mesh, in_specs=in_specs,
-                       out_specs=out_specs, check_vma=False)
-    def scan_chain(coords2, logp2, key, n_acc, t):
-        logp_local = lambda q: _local_log_posterior(q, t, spec_axis)
-
-        def one_step(carry, _):
-            coords2, logp2, key, n_acc = carry
-            key, sub = jax.random.split(key)
-            coords2, logp2, sub, n_acc = _half_update_local(
-                coords2, logp2, sub, n_acc, 0, logp_local, a, walker_axis
-            )
-            coords2, logp2, sub, n_acc = _half_update_local(
-                coords2, logp2, sub, n_acc, 1, logp_local, a, walker_axis
-            )
-            return (coords2, logp2, key, n_acc), None
-
-        def outer(carry, _):
-            carry, _ = jax.lax.scan(one_step, carry, None, length=thin)
-            return carry, (carry[0], carry[1])
-
-        carry, chain = jax.lax.scan(
-            outer, (coords2, logp2, key, n_acc), None, length=n_keep
-        )
-        return carry, chain
-
-    (coords2, logp2, key, n_acc), (chain, logps) = scan_chain(
-        state.coords, state.log_prob, state.key, state.n_accept, tgt
-    )
-    return EnsembleState(coords2, logp2, key, n_acc), chain, logps

@@ -323,8 +323,13 @@ def run_optimize_stage(ctx: FitContext, record_thin: int = 500, mesh=None) -> No
     key = jax.random.PRNGKey(cfg.seed)
     k_init, k_run = jax.random.split(key)
     p0 = init_walkers(ctx.target, cfg.nwalk, cfg.plx, cfg.plx_err, k_init)
-    use_mesh = resolve_mesh(mesh, cfg.nwalk) if (
-        isinstance(mesh, str) and "x" in mesh) else mesh
+    from mcmc_spec_tpu.parallel.mesh import parse_wxs
+
+    use_mesh = (
+        resolve_mesh(mesh, cfg.nwalk, halves=False)
+        if parse_wxs(mesh) is not None
+        else mesh
+    )
     if use_mesh is not None and "spec" in getattr(use_mesh, "axis_names", ()):
         from mcmc_spec_tpu.parallel.spec_shard import (
             pad_packed_target_nd,
@@ -366,7 +371,7 @@ def seed_from_optimize(ctx: FitContext, jitter_triple: bool = True):
     return p0
 
 
-def resolve_mesh(mesh, nw: int):
+def resolve_mesh(mesh, nw: int, halves: bool = True):
     """Resolve a mesh spec for ``nw`` walkers.
 
     ``mesh`` may be a :class:`jax.sharding.Mesh` (used as-is), ``"auto"``
@@ -375,22 +380,32 @@ def resolve_mesh(mesh, nw: int):
     (e.g. ``"4x2"``: an explicit 2-D ``(walkers, spec)`` mesh — spectral
     model parallelism, :mod:`mcmc_spec_tpu.parallel.spec_shard`), or falsy
     (single device).
+
+    ``halves``: the ensemble sampler shards each red/black half over the
+    walker axis, so ``nw`` must divide by ``2*W``; the annealer has no
+    halves (walkers fully independent) and only needs ``nw % W == 0`` —
+    ``run_optimize_stage`` passes ``halves=False``.
     """
     from jax.sharding import Mesh
+
+    from mcmc_spec_tpu.parallel.mesh import parse_wxs
 
     if isinstance(mesh, Mesh):
         return mesh
     if not mesh:
         return None
-    if isinstance(mesh, str) and "x" in mesh and mesh.replace("x", "").isdigit():
-        w, s = (int(t) for t in mesh.split("x", 1))
+    wxs = parse_wxs(mesh)
+    if wxs is not None:
+        w, s = wxs
         devices = jax.devices()
         if w * s > len(devices):
             raise ValueError(
                 f"mesh {mesh!r} needs {w * s} devices, have {len(devices)}")
-        if nw % (2 * w) != 0:
+        per_shard = 2 * w if halves else w
+        if nw % per_shard != 0:
             raise ValueError(
-                f"nw={nw} walkers must divide by 2*{w} for mesh {mesh!r}")
+                f"nw={nw} walkers must divide by "
+                f"{'2*' if halves else ''}{w} for mesh {mesh!r}")
         from jax.sharding import Mesh as _Mesh
 
         return _Mesh(np.asarray(devices[: w * s]).reshape(w, s),

@@ -156,6 +156,18 @@ class TestPadPackedTarget:
         with pytest.raises(ValueError, match="<"):
             pad_packed_target_nd(tgt, 128)
 
+    def test_padded_fields_are_host_arrays(self):
+        # the padded fields must come back as HOST numpy so that
+        # shard_target_over_spec's device_put sends each device only its
+        # shard — the full padded D must never be staged on one device
+        # (CLAUDE.md host-numpy rule; the module's larger-than-HBM purpose)
+        tgt, _ = build_bench_target(jnp.float32, nd=250, grid_step=8.0)
+        repad = pad_packed_target_nd(tgt, 320)
+        for name in ("D", "data_flux", "data_err", "ext_k_data", "V", "Vpinv"):
+            arr = getattr(repad, name)
+            assert isinstance(arr, np.ndarray), f"{name} staged on device"
+            assert arr.dtype == np.float32, name
+
 
 class TestPipelineWiring:
     def test_resolve_mesh_wxs(self):
@@ -170,6 +182,34 @@ class TestPipelineWiring:
             resolve_mesh("4x2", 60)  # 60 % (2*4) != 0
         with pytest.raises(ValueError, match="mesh must be"):
             resolve_mesh("banana", 64)
+
+    def test_resolve_mesh_annealer_divisibility(self):
+        # the annealer has no red/black halves: nwalk need only divide by W,
+        # not 2*W — the default config's nwalk=150 must work on a 2xS mesh
+        # (run_optimize_stage passes halves=False)
+        from mcmc_spec_tpu.pipeline import resolve_mesh
+
+        mesh = resolve_mesh("2x4", 150, halves=False)
+        assert mesh.shape == {"walkers": 2, "spec": 4}
+        with pytest.raises(ValueError, match="2\\*2"):
+            resolve_mesh("2x4", 150)  # the MCMC stage still needs 2*W
+
+    def test_malformed_wxs_clean_errors(self):
+        # "0x2" / "4x" / "2x2x2" pass the digits-and-'x' shape check but
+        # must raise a usable ValueError, not ZeroDivisionError / a raw
+        # int() traceback (shared parse_wxs validates before parsing)
+        from mcmc_spec_tpu.fleet_pipeline import resolve_fleet_mesh as fleet_resolve
+        from mcmc_spec_tpu.pipeline import resolve_mesh
+
+        for bad in ("0x2", "4x", "2x2x2", "2x0"):
+            with pytest.raises(ValueError, match="mesh"):
+                resolve_mesh(bad, 64)
+            with pytest.raises(ValueError, match="mesh"):
+                fleet_resolve(bad, 2, 64)
+        # well-formed WxS is still rejected by fleet mode with the clear
+        # single-target-only message
+        with pytest.raises(ValueError, match="single-target"):
+            fleet_resolve("4x2", 2, 64)
 
     def test_ensemble_driver_spec_mode(self, small_target):
         # the production MCMC stage's driver, spec mesh: init + run + flat

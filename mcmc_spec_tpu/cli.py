@@ -111,6 +111,16 @@ def main(argv=None):
         )
         return
 
+    # WxS mesh + bad walker counts must error NOW, not after the optimize
+    # stage has run to completion (pipeline.check_wxs_stage_counts)
+    from mcmc_spec_tpu.pipeline import check_wxs_stage_counts
+
+    try:
+        check_wxs_stage_counts(
+            cfgs[0].nwalk, mesh, do_opt == "True", do_emcee == "True")
+    except ValueError as e:
+        raise SystemExit(f"--mesh: {e}")
+
     ctx = setup_context(cfgs[0], dtype=dtype)
 
     if do_opt == "True":

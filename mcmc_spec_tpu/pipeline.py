@@ -371,6 +371,39 @@ def seed_from_optimize(ctx: FitContext, jitter_triple: bool = True):
     return p0
 
 
+def check_wxs_stage_counts(nwalk: int, mesh, do_opt: bool, do_emcee: bool) -> None:
+    """Fail fast when a WxS mesh can't run the requested stages.
+
+    With both stages requested, the MCMC stage's walker count is the
+    optimizer top-third seed count ``max(nwalk // 3, 2)``
+    (``seed_from_optimize``); a divisibility failure there would otherwise
+    only surface AFTER the optimize stage has run to completion.  Checked
+    from the CLI before any compute: the annealer needs ``nwalk % W == 0``
+    (no red/black halves), the ensemble sampler ``seeds % 2W == 0``.
+    No-op for non-WxS meshes, and when only the MCMC stage runs (its seed
+    count then comes from on-disk optimizer results, and the stage's own
+    ``resolve_mesh`` raises immediately — nothing is wasted).
+    """
+    from mcmc_spec_tpu.parallel.mesh import parse_wxs
+
+    wxs = parse_wxs(mesh) if isinstance(mesh, str) else None
+    if wxs is None or not do_opt:
+        return
+    w, _ = wxs
+    if nwalk % w != 0:
+        raise ValueError(
+            f"mesh {mesh!r}: the annealer runs nwalk={nwalk} walkers, which "
+            f"must divide by W={w}")
+    if do_emcee:
+        n_seeds = max(nwalk // 3, 2)
+        if n_seeds % (2 * w) != 0:
+            raise ValueError(
+                f"mesh {mesh!r}: the MCMC stage will seed max(nwalk//3, 2) = "
+                f"{n_seeds} walkers from the optimizer, which must divide by "
+                f"2*W = {2 * w}; choose nwalk so nwalk//3 is a multiple of "
+                f"{2 * w} (e.g. nwalk={6 * w * max(nwalk // (6 * w), 1)})")
+
+
 def resolve_mesh(mesh, nw: int, halves: bool = True):
     """Resolve a mesh spec for ``nw`` walkers.
 

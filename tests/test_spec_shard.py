@@ -211,6 +211,27 @@ class TestPipelineWiring:
         with pytest.raises(ValueError, match="single-target"):
             fleet_resolve("4x2", 2, 64)
 
+    def test_wxs_stage_counts_fail_fast(self):
+        # with both stages requested, an MCMC seed count (max(nwalk//3, 2))
+        # that can't divide over 2*W must error BEFORE the optimize stage
+        # runs, not after it completes
+        from mcmc_spec_tpu.pipeline import check_wxs_stage_counts
+
+        # nwalk=24 -> seeds 8, 8 % (2*2) == 0: both stages fine on 2x4
+        check_wxs_stage_counts(24, "2x4", True, True)
+        # nwalk=150 -> seeds 50, 50 % 4 != 0: MCMC stage would die mid-run
+        with pytest.raises(ValueError, match="seed"):
+            check_wxs_stage_counts(150, "2x4", True, True)
+        # annealer-only is fine at nwalk=150 (150 % 2 == 0)
+        check_wxs_stage_counts(150, "2x4", True, False)
+        # annealer walker count must divide by W
+        with pytest.raises(ValueError, match="annealer"):
+            check_wxs_stage_counts(151, "2x4", True, False)
+        # non-WxS meshes and emcee-only runs are out of scope: no-op
+        check_wxs_stage_counts(150, "auto", True, True)
+        check_wxs_stage_counts(150, None, True, True)
+        check_wxs_stage_counts(150, "2x4", False, True)
+
     def test_ensemble_driver_spec_mode(self, small_target):
         # the production MCMC stage's driver, spec mesh: init + run + flat
         # accessors all work, and the advanced log-probs recompute correctly

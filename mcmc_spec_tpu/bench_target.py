@@ -24,12 +24,14 @@ def _gaussian_filter(name, center, width, n=256):
 
 
 def build_bench_target(dtype, nd=1792, grid_step=1.0, nspec=2, seed=0,
-                       pad_nd=None, pad_nc=None):
+                       pad_nd=None, pad_nc=None, stage_on_device=True):
     """(PackedTarget, truth params). Deterministic.
 
     ``pad_nd``/``pad_nc`` thread through to ``pack_target`` (inert fleet
     padding) so on-device shape sweeps can build padded fleet members
-    without the test fixtures (scripts/tpu_validation.py)."""
+    without the test fixtures (scripts/tpu_validation.py).
+    ``stage_on_device=False`` returns a host-numpy target (the WxS staging
+    mode; observed cmag/pmag are mirrored back to host too)."""
     import jax.numpy as jnp  # noqa: F401
 
     rng = np.random.RandomState(seed)
@@ -92,7 +94,7 @@ def build_bench_target(dtype, nd=1792, grid_step=1.0, nspec=2, seed=0,
         mist=mist, av_profile=AvProfile.constant(0.12, 0.05),
         nspec=nspec, dist_fit=True, rad_prior=False,
         prior_mu=prior_mu, prior_sig=prior_sig, dtype=dtype,
-        pad_nd=pad_nd, pad_nc=pad_nc,
+        pad_nd=pad_nd, pad_nc=pad_nc, stage_on_device=stage_on_device,
     )
     # fill observed contrasts/photometry from the packed forward at truth
     import jax
@@ -108,11 +110,11 @@ def build_bench_target(dtype, nd=1792, grid_step=1.0, nspec=2, seed=0,
     # fixtures must see identical true observations, not an RNG shift
     cnoise = np.zeros(out.contrasts.shape[-1])
     cnoise[: len(cfilts)] = rng.normal(0, 0.02, len(cfilts))
-    tgt = dataclasses.replace(
-        tgt,
-        cmag=out.contrasts + jnp.asarray(cnoise, dtype=dtype),
-        pmag=out.phot_mags + jnp.asarray(rng.normal(0, 0.02, len(pfilts)), dtype=dtype),
-    )
+    cmag = out.contrasts + jnp.asarray(cnoise, dtype=dtype)
+    pmag = out.phot_mags + jnp.asarray(rng.normal(0, 0.02, len(pfilts)), dtype=dtype)
+    if not stage_on_device:
+        cmag, pmag = np.asarray(cmag), np.asarray(pmag)
+    tgt = dataclasses.replace(tgt, cmag=cmag, pmag=pmag)
     return tgt, p
 
 

@@ -94,7 +94,21 @@ def main(argv=None):
         for cfg in cfgs:
             setattr(cfg, attr, val)
 
+    from mcmc_spec_tpu.parallel.mesh import parse_wxs
+
+    wxs_mode = isinstance(mesh, str) and parse_wxs(mesh) is not None
+
     if len(cfgs) > 1:
+        if wxs_mode:
+            # fleet mode shards (targets, walkers); composing the spec axis
+            # on top is a documented scope limit (PARITY.md) — fail with the
+            # same clean SystemExit as every other --mesh error instead of
+            # run_fleet's raw ValueError traceback
+            raise SystemExit(
+                f"--mesh: {mesh!r} (walkers x spec) is single-target only; "
+                "fleet mode shards (targets, walkers) — run WxS fits one "
+                "target at a time (see PARITY.md, fleet x spec scope note)"
+            )
         from mcmc_spec_tpu.fleet_pipeline import run_fleet
 
         run_fleet(
@@ -121,7 +135,10 @@ def main(argv=None):
     except ValueError as e:
         raise SystemExit(f"--mesh: {e}")
 
-    ctx = setup_context(cfgs[0], dtype=dtype)
+    # WxS: keep the packed target on HOST so the full grid projection is
+    # never committed to one device — shard_target_over_spec then sends each
+    # chip only its wavelength shard (the whole point of spectral sharding)
+    ctx = setup_context(cfgs[0], dtype=dtype, stage_on_device=not wxs_mode)
 
     if do_opt == "True":
         run_optimize_stage(ctx, mesh=mesh)

@@ -187,11 +187,24 @@ def _chi2_terms_batch(p, tgt: PackedTarget, spec_mult, chi_spec=None,
 
         it, mm, rn = resolve_dials(tgt)  # pack-time statics (no env reads)
         nT, nG, nd = tgt.D.shape
-        chi_spec = spectrum_chi2(
-            Wcomb, av, tgt.D.reshape(nT * nG, nd), tgt.ext_k_data,
-            tgt.data_flux, tgt.data_err, tgt.V, tgt.Vpinv, tgt.med_data,
-            iters=it, mm_passes=mm, recip=rn, renorm=renorm,
-        )
+        if nd > 4096:
+            # native-resolution regime: the VMEM-resident kernel can't hold
+            # a [*, nd] row; the segmented lane streams D through (walker,
+            # nd) tiles with an exact count-based median (round 5)
+            from mcmc_spec_tpu.ops.spec_segmented import spectrum_chi2_segmented
+
+            chi_spec = spectrum_chi2_segmented(
+                Wcomb, av, tgt.D.reshape(nT * nG, nd), tgt.ext_k_data,
+                tgt.data_flux, tgt.data_err, tgt.V, tgt.Vpinv, tgt.med_data,
+                tgt.n_data_true, iters=it, mm_passes=mm, recip=rn,
+                renorm=renorm,
+            )
+        else:
+            chi_spec = spectrum_chi2(
+                Wcomb, av, tgt.D.reshape(nT * nG, nd), tgt.ext_k_data,
+                tgt.data_flux, tgt.data_err, tgt.V, tgt.Vpinv, tgt.med_data,
+                iters=it, mm_passes=mm, recip=rn, renorm=renorm,
+            )
     elif renorm:
         chi_spec = _spec_chi2_xla(Wcomb, av, tgt)
     else:
@@ -279,11 +292,15 @@ def log_prior_batch(p, tgt: PackedTarget):
 def _fusable(tgt: PackedTarget) -> bool:
     """Eligible for the one-kernel-per-eval fused path: single-target
     (unpadded — fleet padding needs per-row median ranks) with non-empty
-    contrast and photometry blocks (zero-width refs don't lower)."""
+    contrast and photometry blocks (zero-width refs don't lower), and a
+    data axis short enough that the whole [*, nd] row block fits the
+    ~16 MB scoped VMEM (beyond that the composition dispatches the
+    segmented lane, ``ops.spec_segmented``)."""
     return (
         tgt.spectrum_backend != "xla"
         and tgt.n_contrast > 0
         and tgt.n_phot > 0
+        and tgt.D.shape[2] <= 4096
     )
 
 

@@ -218,6 +218,7 @@ def pack_target(
     pad_nd: Optional[int] = None,
     pad_nc: Optional[int] = None,
     rad_sigma_frac: Optional[float] = None,
+    stage_on_device: bool = True,
 ) -> PackedTarget:
     """Precompute every linear projection and lookup table for one target.
 
@@ -230,6 +231,17 @@ def pack_target(
     sentinel model flux (so rank-based medians ignore them); padded contrast
     filters carry unit flux and infinite error.  Padded targets force the XLA
     spectrum backend (the Pallas kernel's median ranks are static).
+
+    ``stage_on_device=False`` keeps every data field as HOST numpy (cast to
+    ``dtype``): the spectral-sharding (WxS) path must pass this, so that
+    ``parallel.spec_shard.shard_target_over_spec`` performs the ONLY device
+    placement and each chip receives just its wavelength shard of ``D`` —
+    the default ``jnp.asarray`` staging would commit the full ``[nT,nG,nd]``
+    grid projection to one device first, which defeats sharding's
+    larger-than-HBM purpose (it OOMs at pack time before the sharded path
+    ever runs).  Host targets still work everywhere else (jnp auto-uploads
+    on first use), but per-eval re-upload makes them wrong for the
+    single-device hot paths — only the sharded pipeline should request this.
     """
     data_wl_aa = np.asarray(data_wl_um, dtype=np.float64) * 1e4
 
@@ -289,7 +301,19 @@ def pack_target(
 
     from mcmc_spec_tpu.utils import flags
 
-    as_dev = lambda x: jnp.asarray(np.asarray(x), dtype=dtype)
+    if stage_on_device:
+        as_dev = lambda x: jnp.asarray(np.asarray(x), dtype=dtype)
+        as_int = lambda x: jnp.asarray(x, jnp.int32)
+    else:
+        np_dtype = np.dtype(dtype)
+        as_dev = lambda x: np.asarray(np.asarray(x), dtype=np_dtype)
+        as_int = lambda x: np.asarray(x, np.int32)
+        # lookup-table nodes come back from device_nodes() as jnp arrays;
+        # mirror them to host so no field of the returned target holds a
+        # device buffer
+        mist_teff, mist_logg, mist_lum = (
+            np.asarray(a) for a in (mist_teff, mist_logg, mist_lum))
+        av_logd, av_mu, av_sig = (np.asarray(a) for a in (av_logd, av_mu, av_sig))
     return PackedTarget(
         nspec=int(nspec),
         dist_fit=bool(dist_fit),
@@ -334,7 +358,7 @@ def pack_target(
         prior_mu=as_dev(prior_mu),
         prior_sig=as_dev(prior_sig),
         med_data=as_dev(med_data),
-        n_data_true=jnp.asarray(n_data_true, jnp.int32),
-        n_contrast_true=jnp.asarray(n_contrast_true, jnp.int32),
-        n_phot_true=jnp.asarray(n_phot_true, jnp.int32),
+        n_data_true=as_int(n_data_true),
+        n_contrast_true=as_int(n_contrast_true),
+        n_phot_true=as_int(n_phot_true),
     )

@@ -17,11 +17,12 @@ and of the per-point work, and the log-posterior stays *exact*:
   reduction are sums over wavelength -> one ``psum`` each ([nw, 3] and
   [nw] floats over ICI);
 * the rank-based median is computed by a **distributed radix select**: the
-  single-chip kernel (``ops.pallas_kernels._row_order_stat_bits``) bisects
-  the non-negative f32 bit range on per-pass *counts*, and counts are
-  additive across shards — so ``psum``-ing the local counts reproduces the
-  single-chip lo/hi trajectory, and therefore the median, **bit-exactly**
-  (31 passes x one [nw] int32 psum).
+  non-negative f32 bit range is searched on per-pass *counts*, and counts
+  are additive across shards — so ``psum``-ing the local counts reproduces
+  the single-chip search, and therefore the median, **bit-exactly**
+  (since round 5: 2 bits per round via quartile thresholds — 16 rounds x
+  one [nw, 3] int32 psum instead of 31 bisection rounds, halving the ICI
+  latency chain per eval; ``ops.spec_segmented.median_nonneg_xla``).
 
 Everything wavelength-independent (photometry, contrasts, priors, bounds)
 is computed redundantly per shard from replicated inputs — a few percent
@@ -56,7 +57,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from mcmc_spec_tpu.inference.batched import _HI, log_posterior_batch
 from mcmc_spec_tpu.inference.stretch import EnsembleState
 from mcmc_spec_tpu.inference.target import PackedTarget
-from mcmc_spec_tpu.ops.pallas_kernels import _F32_INF_BITS
 # PackedTarget data fields carrying the data-wavelength axis, with the axis
 # position ``nd`` occupies in each (everything else is replicated).
 _SPEC_AXIS_FIELDS = {
@@ -160,10 +160,10 @@ def shard_target_over_spec(
 def _dist_median_nonneg(model_local, n_true, axis: str):
     """Exact np.median over the *global* wavelength axis, per row.
 
-    Mirrors ``pallas_kernels._row_median_nonneg(iters=31)``: a 31-pass
-    bisection of the non-negative f32 bit range driven by rank counts —
-    here the counts are ``psum``-med over the spec shards, which reproduces
-    the single-chip lo/hi trajectory bit-exactly.  ``n_true`` is the global
+    Matches ``pallas_kernels._row_median_nonneg(iters=31)`` bit for bit: an
+    exact radix search of the non-negative f32 bit range driven by rank
+    counts — here the counts are ``psum``-med over the spec shards, which
+    reproduces the single-chip result exactly.  ``n_true`` is the global
     count of REAL points; fleet/spec padding carries sentinel model values
     (~1e30) that sort above every real point, so rank ``(n_true+1)//2``
     always lands on a real value (same convention as the XLA backend's
@@ -173,42 +173,31 @@ def _dist_median_nonneg(model_local, n_true, axis: str):
     device scalar), so the even-rank refinement (one extra count pass + a
     ``pmin``) always runs and a ``where`` selects.
 
-    Dtype-generic: f32 is the production path (31 passes over the int32 bit
-    range); f64 (the x64 CPU test lane — the sampler's proposal arithmetic
-    promotes) bisects the int64 bit range in 63 passes.
+    Dtype-generic: f32 is the production path (31 bits of int32 range,
+    16 2-bit rounds); f64 (the x64 CPU test lane — the sampler's proposal
+    arithmetic promotes) searches the int64 bit range (63 bits, 32 rounds).
+
+    PRECONDITION (same unstated invariant as the single-chip kernel's
+    ``_row_median_nonneg``): every element of ``model_local`` must be
+    **non-negative** — the bisection starts at ``lo=0``, so a negative
+    value (whose bit pattern bitcasts to a negative int, always counted by
+    ``mi <= mid``) would corrupt the rank counts.  This holds by
+    construction for the spectrum model: ``model = Wcomb @ D * trans``
+    where the tent-basis blend weights are clipped to [0, 1]
+    (``ops.interp.tent_weights``), the component scales are squared radii
+    (>= 0), the grid fluxes ``D`` are physical fluxes (>= 0; padding
+    sentinel 1e30), and the extinction transmission is an exponential
+    (> 0).  Callers feeding anything else must clamp first.
     """
-    if model_local.dtype == jnp.float64:
-        itype, inf_bits, passes = jnp.int64, 0x7FF0000000000000, 63
-    else:
-        itype, inf_bits, passes = jnp.int32, _F32_INF_BITS, 31
-    mi = jax.lax.bitcast_convert_type(model_local, itype)
-    B = model_local.shape[0]
-    r1 = ((n_true + 1) // 2).astype(jnp.int32)  # 1-based lower-middle rank
+    from mcmc_spec_tpu.ops.spec_segmented import median_nonneg_xla
 
-    lo = jnp.zeros((B, 1), itype)
-    hi = jnp.full((B, 1), inf_bits, itype)
-
-    def body(_, carry):
-        lo, hi = carry
-        mid = lo + ((hi - lo) >> 1)
-        cnt = jnp.sum((mi <= mid).astype(jnp.int32), axis=1, keepdims=True)
-        cnt = jax.lax.psum(cnt, axis)
-        ge = cnt >= r1
-        return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
-
-    _, v1 = jax.lax.fori_loop(0, passes, body, (lo, hi))
-    x1 = jax.lax.bitcast_convert_type(v1, model_local.dtype)
-
-    # upper middle (even n_true): equal to x1 if it repeats past rank r1,
-    # else the globally-next-larger element
-    cnt1 = jax.lax.psum(
-        jnp.sum((mi <= v1).astype(jnp.int32), axis=1, keepdims=True), axis
-    )
-    bigger = jnp.where(mi > v1, model_local, jnp.inf)
-    x2 = jax.lax.pmin(jnp.min(bigger, axis=1, keepdims=True), axis)
-    x2 = jnp.where(cnt1 >= r1 + 1, x1, x2)
-    med = jnp.where(n_true % 2 == 1, x1, 0.5 * (x1 + x2))
-    return med[:, 0]
+    # since round 5 the search runs 2 bits per round (k-ary quartile
+    # thresholds; the three count reductions fuse into one pass over the
+    # data) — HALF the ICI latency rounds per eval: 17 [nw, ·] int32 psums
+    # (16 rounds + the even-rank refinement) instead of 32 in f32, 33 vs 64
+    # in the f64 test lane.  Result unchanged bit for bit (it is an exact
+    # order-statistic search; the bit-exactness tests pin it).
+    return median_nonneg_xla(model_local, n_true, psum_axis=axis)
 
 
 def _spec_chi2_psum(Wcomb, av, tgt: PackedTarget, axis: str, renorm: bool = True):
@@ -218,8 +207,45 @@ def _spec_chi2_psum(Wcomb, av, tgt: PackedTarget, axis: str, renorm: bool = True
     likelihood) / ``_spec_chi2_xla_median_only`` (renorm=False, the
     annealer's convention): per-shard slices of the model, one psum each
     for the renorm projection and the residual sum, distributed median.
+
+    On TPU/f32 the per-shard math runs through the SEGMENTED Pallas lane
+    (``ops.spec_segmented``): the grid matmul + extinction fuse into one
+    nd-tiled kernel (bf16-split f32 emulation, the pack-time
+    ``matmul_passes`` dial) and the renorm/residual partials into two more,
+    with the distributed count-median between kernel segments — the psums
+    stay the only collectives.  Off-TPU (the virtual-mesh test suite) the
+    pure-XLA composition below runs; the two lanes are pinned against each
+    other by tests/test_spec_shard.py.
     """
+    from mcmc_spec_tpu.utils.flags import use_pallas_spectrum
+
     nT, nG, ndl = tgt.D.shape  # ndl = local shard width
+    if Wcomb.dtype == jnp.float32 and use_pallas_spectrum(Wcomb.dtype):
+        from mcmc_spec_tpu.ops.pallas_kernels import resolve_dials
+        from mcmc_spec_tpu.ops.spec_segmented import (
+            model_extinct,
+            median_nonneg_xla,
+            renorm_partials,
+            resid_chi2,
+        )
+
+        _, mm, rn = resolve_dials(tgt)
+        model = model_extinct(
+            Wcomb, av, tgt.D.reshape(nT * nG, ndl), tgt.ext_k_data, mm)
+        med = median_nonneg_xla(model, tgt.n_data_true, psum_axis=axis)
+        scale = (tgt.med_data / med).astype(jnp.float32)
+        if renorm:
+            coeffs = jax.lax.psum(
+                renorm_partials(model, scale, tgt.data_flux, tgt.Vpinv, rn),
+                axis)
+        else:
+            coeffs = None
+        total = jax.lax.psum(
+            resid_chi2(model, scale, coeffs, tgt.data_flux, tgt.data_err,
+                       tgt.V, rn, renorm=renorm),
+            axis)
+        return total / tgt.n_data_true.astype(jnp.float32)
+
     model = jnp.matmul(Wcomb, tgt.D.reshape(nT * nG, ndl), precision=_HI)
     apply_ext = (av > 0)[:, None]
     trans = jnp.where(

@@ -164,7 +164,16 @@ def setup_context(
     dtype=jnp.float32,
     pad_nd: Optional[int] = None,
     pad_nc: Optional[int] = None,
+    stage_on_device: bool = True,
 ) -> FitContext:
+    """Build the FitContext (grid, filters, tables, packed target).
+
+    ``stage_on_device=False`` keeps the packed target's arrays as host
+    numpy — REQUIRED for the WxS (spectral-sharding) pipeline so the full
+    grid projection is never committed to a single device at pack time
+    (``shard_target_over_spec`` then performs the only device placement,
+    per-shard).  The CLI passes this automatically for ``--mesh WxS``.
+    """
     os.makedirs(cfg.dirname, exist_ok=True)
     os.makedirs(os.path.join(cfg.dirname, "plots"), exist_ok=True)
 
@@ -249,6 +258,7 @@ def setup_context(
         # 0.02 with a genuine mist_2mass_old.cmd (reference parity); widened
         # in quadrature by the builtin table's declared ~5% radius error
         rad_sigma_frac=mist.rad_prior_sigma_frac,
+        stage_on_device=stage_on_device,
     )
     return FitContext(
         cfg=cfg,
@@ -337,6 +347,14 @@ def run_optimize_stage(ctx: FitContext, record_thin: int = 500, mesh=None) -> No
             shard_target_over_spec,
         )
 
+        # a programmatically-passed Mesh bypasses resolve_mesh's WxS-string
+        # validation; check walker divisibility here too, or shard_map fails
+        # with an opaque sharding error instead of this curated one
+        nw_shards = use_mesh.shape.get("walkers", 1)
+        if cfg.nwalk % nw_shards != 0:
+            raise ValueError(
+                f"nwalk={cfg.nwalk} walkers must divide by the mesh's "
+                f"{nw_shards} 'walkers' shards")
         nsp = use_mesh.shape["spec"]
         tgt_sp = shard_target_over_spec(
             pad_packed_target_nd(ctx.target, -(-ctx.target.n_data // nsp) * nsp),

@@ -81,3 +81,23 @@ bps_dir {BPS_DIR}
     assert not (run / "chain_checkpoint.npz").exists()
     samples = np.genfromtxt(run / "samples.txt")
     assert samples.shape[1] == 6
+
+
+def test_cli_fleet_rejects_wxs_mesh(tmp_path):
+    # fleet mode (-f a -f b) with an explicit WxS mesh must exit with the
+    # clean SystemExit usage error BEFORE any compute — not surface
+    # resolve_fleet_mesh's raw ValueError traceback from inside run_fleet
+    # (ADVICE r4).  No data files are needed: the check precedes config use.
+    paramfile = tmp_path / "param_a.txt"
+    paramfile.write_text("models synthetic\nfname a\ndirname x\n")
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-m", "mcmc_spec_tpu.cli", "-f", str(paramfile),
+         "-f", str(paramfile), "-o", "True", "--mesh", "2x2"],
+        capture_output=True, text=True, timeout=300, env=env, cwd="/root/repo",
+    )
+    assert out.returncode != 0
+    assert "single-target only" in out.stderr
+    assert "Traceback" not in out.stderr

@@ -379,3 +379,57 @@ class TestSpecEnsembleChain:
         np.testing.assert_allclose(
             chain, np.asarray(jax.device_get(chain1)), rtol=1e-5, atol=1e-5
         )
+
+
+class TestHostStagedPacking:
+    """ADVICE r4 (medium): the WxS pipeline must never commit the full
+    [nT, nG, nd] grid projection to one device — pack_target's
+    stage_on_device=False keeps every field as host numpy so
+    shard_target_over_spec performs the ONLY device placement."""
+
+    def test_pack_host_staged_fields_are_numpy(self):
+        import dataclasses
+
+        tgt, _ = build_bench_target(jnp.float32, nd=256, grid_step=8.0,
+                                    stage_on_device=False)
+        for f in dataclasses.fields(tgt):
+            val = getattr(tgt, f.name)
+            if isinstance(val, (int, float, bool, str)):
+                continue
+            assert isinstance(val, np.ndarray), (
+                f"{f.name} staged on device ({type(val)})")
+
+    def test_host_staged_shards_without_full_device_buffer(self):
+        tgt, truth = build_bench_target(jnp.float32, nd=256, grid_step=8.0,
+                                        stage_on_device=False)
+        mesh = spec_mesh()
+        tgt_sh = shard_target_over_spec(tgt, mesh)
+        # per-device D buffer is exactly 1/8 of the wavelength axis
+        for sh in tgt_sh.D.addressable_shards:
+            assert sh.data.shape[2] == tgt.n_data // 8
+        # and the sharded posterior matches a device-staged pack bit-for-bit
+        # at the XLA-backend tolerance
+        tgt_dev, _ = build_bench_target(jnp.float32, nd=256, grid_step=8.0)
+        coords = init_walker_batch(tgt_dev, truth, 16, jnp.float32)
+        ref = np.asarray(log_posterior_batch(coords, tgt_dev))
+        got = np.asarray(make_spec_logpost(tgt_sh, mesh)(coords, tgt_sh))
+        np.testing.assert_allclose(got, ref, rtol=3e-5, atol=1e-4)
+
+    def test_driver_spec_mode_on_host_staged_target(self):
+        # the production MCMC driver path the WxS CLI takes: a host-staged
+        # target (indivisible nd, so the padding lane runs too) goes through
+        # pad_packed_target_nd -> shard_target_over_spec without any
+        # full-size device buffer, and the chain runs
+        from mcmc_spec_tpu.pipeline import _EnsembleDriver, resolve_mesh
+
+        tgt, truth = build_bench_target(jnp.float32, nd=250, grid_step=8.0,
+                                        stage_on_device=False)
+        coords = init_walker_batch(tgt, truth, 16, jnp.float32)
+        mesh = resolve_mesh("2x4", 16)
+        driver = _EnsembleDriver(None, mesh, target=tgt)
+        assert driver.tgt_sp.n_data == 252  # padded to a multiple of 4
+        for sh in driver.tgt_sp.D.addressable_shards:
+            assert sh.data.shape[2] == 252 // 4
+        state = driver.init(np.asarray(coords), jax.random.PRNGKey(0))
+        state, chain = driver.run(state, n_steps=2, thin=1)
+        assert np.all(np.isfinite(driver.log_prob(state)))

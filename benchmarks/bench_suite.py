@@ -13,8 +13,14 @@ Covers the BASELINE.md workload configs on real hardware:
 * ``nospec`` — config 4: the mft6_nospec.py mode (spectrum term dropped).
 * ``single`` — config 1: real ``Data/GJ544B.ascii`` single-star ndim-4
   chain at the reference's 50-walker 301+15001 schedule.
+* ``largend`` — round 5: the segmented spectrum lane
+  (``ops/spec_segmented.py``) at the native-resolution regime (nd=65536,
+  no reference counterpart — the reference decimates, mft6.py:154-170).
+* ``spshard`` — round 5: sp-mode (walkers x spec shard_map) at S=1 on the
+  real chip — the sharding-overhead floor — plus the per-eval collective
+  count from the traced program (ADVICE r4: psum rounds must be on record).
 
-Usage: python benchmarks/bench_suite.py [chain|fleet|anneal|evals|nospec|single|all]
+Usage: python benchmarks/bench_suite.py [chain|fleet|anneal|evals|nospec|single|largend|spshard|all]
 """
 import json
 import sys
@@ -213,12 +219,79 @@ def bench_single_gj544b(*_):
     }
 
 
+def _timed_eval(fn, coords, reps):
+    """Honest per-call wall: queue ``reps`` dispatches, block once
+    (the axon tunnel's ~1 ms dispatch cost is latency, not throughput)."""
+    fn(coords).block_until_ready()  # compile + warm
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(reps):
+        out = fn(coords)
+    out.block_until_ready()
+    return (time.perf_counter() - t0) / reps
+
+
+LARGEND_ND, LARGEND_NW = 65536, 1024
+
+
+def bench_largend(*_):
+    """Segmented lane (the automatic dispatch at nd > 4096) at HiRes-like
+    nd — the regime ``parallel/spec_shard.py`` exists for."""
+    tgt, truth = build_bench_target(DTYPE, nd=LARGEND_ND, grid_step=8.0)
+    coords = init_walker_batch(tgt, truth, LARGEND_NW, DTYPE)
+    dt = _timed_eval(jax.jit(lambda c: log_posterior_batch(c, tgt)),
+                     coords, 20)
+    return {
+        "metric": "largend_evals_per_sec",
+        "value": round(LARGEND_NW / dt, 1),
+        "unit": f"evals/s (segmented lane, nd={LARGEND_ND}, "
+                f"{LARGEND_NW} walkers)",
+        "ms_per_eval_batch": round(dt * 1e3, 3),
+    }
+
+
+def bench_spshard(*_):
+    """sp-mode at S=1: shard_map + distributed-median structure on one
+    chip (the overhead floor vs ``largend``), with the per-eval collective
+    count read from the traced program — the ICI latency-round budget a
+    real multi-chip step pays."""
+    from jax.sharding import Mesh
+
+    from mcmc_spec_tpu.parallel.spec_shard import (
+        make_spec_logpost,
+        shard_target_over_spec,
+    )
+
+    tgt, truth = build_bench_target(DTYPE, nd=LARGEND_ND, grid_step=8.0,
+                                    stage_on_device=False)
+    coords = init_walker_batch(tgt, truth, LARGEND_NW, DTYPE)
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1),
+                ("walkers", "spec"))
+    tgt_sp = shard_target_over_spec(tgt, mesh)
+    fsp = make_spec_logpost(tgt_sp, mesh)
+    # collective census from the trace (device-count-independent): every
+    # psum/pmin here rides ICI once per eval on a real spec mesh
+    jaxpr = str(jax.make_jaxpr(lambda c: fsp(c, tgt_sp))(coords))
+    collectives = {name: jaxpr.count(f"{name}[") for name in
+                   ("psum", "pmin", "pmax", "all_gather")}
+    dt = _timed_eval(lambda c: fsp(c, tgt_sp), coords, 20)
+    return {
+        "metric": "spshard_S1_evals_per_sec",
+        "value": round(LARGEND_NW / dt, 1),
+        "unit": f"evals/s (sp-mode S=1, nd={LARGEND_ND}, "
+                f"{LARGEND_NW} walkers)",
+        "ms_per_eval_batch": round(dt * 1e3, 3),
+        "collectives_per_eval": collectives,
+    }
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     tgt, truth = build_bench_target(DTYPE)
     benches = {"chain": bench_chain, "fleet": bench_fleet,
                "anneal": bench_anneal, "evals": bench_evals,
-               "nospec": bench_nospec, "single": bench_single_gj544b}
+               "nospec": bench_nospec, "single": bench_single_gj544b,
+               "largend": bench_largend, "spshard": bench_spshard}
     if which == "all":
         names = benches
     else:

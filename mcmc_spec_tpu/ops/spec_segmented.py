@@ -166,14 +166,20 @@ def _kary_order_stat_bits(mi, rank, total_bits: int, psum_axis=None):
 
     def round2(shift, lo):
         # quartile thresholds of [lo, lo + 2^(shift)) — XLA fuses the three
-        # sibling count reductions into one pass over mi
+        # sibling count reductions into one pass over mi, and the counts
+        # ride ICI as ONE [B, 3] psum (not three launches — the collective
+        # census in bench_suite.py `spshard` pins the per-eval count)
         q = one << jnp.asarray(shift - 2, itype)
         m1 = lo + q - one
         m2 = lo + (q + q) - one
         m3 = lo + (q + q + q) - one
-        c1, c2, c3 = count_le(m1), count_le(m2), count_le(m3)
-        d = ((c1 < rank).astype(itype) + (c2 < rank).astype(itype)
-             + (c3 < rank).astype(itype))
+        c = jnp.concatenate([
+            jnp.sum((mi <= m).astype(jnp.int32), axis=1, keepdims=True)
+            for m in (m1, m2, m3)], axis=1)
+        if psum_axis is not None:
+            c = jax.lax.psum(c, psum_axis)
+        d = ((c[:, 0:1] < rank).astype(itype) + (c[:, 1:2] < rank).astype(itype)
+             + (c[:, 2:3] < rank).astype(itype))
         return lo + d * q
 
     shift = total_bits

@@ -20,9 +20,10 @@ and of the per-point work, and the log-posterior stays *exact*:
   non-negative f32 bit range is searched on per-pass *counts*, and counts
   are additive across shards — so ``psum``-ing the local counts reproduces
   the single-chip search, and therefore the median, **bit-exactly**
-  (since round 5: 2 bits per round via quartile thresholds — 16 rounds x
-  one [nw, 3] int32 psum instead of 31 bisection rounds, halving the ICI
-  latency chain per eval; ``ops.spec_segmented.median_nonneg_xla``).
+  (since round 5: 2 bits per round via quartile thresholds, one [nw, 3]
+  int32 psum each — a whole renorm eval is 19 psums + 1 pmin, vs 34 under
+  the round-4 bisection; census pinned in ``bench_suite.py spshard``;
+  ``ops.spec_segmented.median_nonneg_xla``).
 
 Everything wavelength-independent (photometry, contrasts, priors, bounds)
 is computed redundantly per shard from replicated inputs — a few percent
@@ -192,11 +193,13 @@ def _dist_median_nonneg(model_local, n_true, axis: str):
     from mcmc_spec_tpu.ops.spec_segmented import median_nonneg_xla
 
     # since round 5 the search runs 2 bits per round (k-ary quartile
-    # thresholds; the three count reductions fuse into one pass over the
-    # data) — HALF the ICI latency rounds per eval: 17 [nw, ·] int32 psums
-    # (16 rounds + the even-rank refinement) instead of 32 in f32, 33 vs 64
-    # in the f64 test lane.  Result unchanged bit for bit (it is an exact
-    # order-statistic search; the bit-exactness tests pin it).
+    # thresholds; the three counts fuse into one pass over the data AND one
+    # [nw, 3] psum) — HALF the ICI latency rounds per eval: 17 int32 psums
+    # (15 two-bit rounds + the final single-bit count + the even-rank
+    # refinement) instead of 32 in f32.  The whole renorm=True eval is 19
+    # psums + 1 pmin (census: benchmarks/bench_suite.py `spshard`).  Result
+    # unchanged bit for bit (it is an exact order-statistic search; the
+    # bit-exactness tests pin it).
     return median_nonneg_xla(model_local, n_true, psum_axis=axis)
 
 

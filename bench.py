@@ -35,6 +35,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mcmc_spec_tpu.bench_target import build_bench_target, init_walker_batch
 from mcmc_spec_tpu.inference.batched import log_posterior_batch
@@ -101,9 +102,11 @@ def _measure(tgt, truth, dtype):
     coords = init_walker_batch(tgt, truth, NWALK, dtype)
     state = init_ensemble(coords, logp, jax.random.PRNGKey(0))
 
-    # compile + warmup
+    # compile + warmup — end with a real host fetch: on the axon tunnel,
+    # block_until_ready after the FIRST execution of a fresh program can
+    # return early (RESULTS.md round-5 harness trap #4)
     st, chain, _ = run_ensemble(state, logp, n_steps=NSTEPS, thin=NSTEPS)
-    chain.block_until_ready()
+    np.asarray(chain).ravel()[:1]
 
     # timed: each stretch step evaluates every walker's log-posterior once
     n_rep = 3

@@ -45,6 +45,18 @@ from mcmc_spec_tpu.inference.stretch import init_ensemble, run_ensemble
 DTYPE = jnp.float32
 
 
+def _force(x):
+    """Warmup sync via a real host fetch.
+
+    On the axon tunnel, ``block_until_ready`` after the FIRST execution of
+    a freshly-compiled program can return before the server has run it
+    (RESULTS.md round-5 harness trap #4) — a fetch is the only reliable
+    completion barrier for warmups.  Timed regions may keep using
+    ``block_until_ready``: it behaves once one real fetch has happened.
+    """
+    np.asarray(x).ravel()[:1]
+
+
 def bench_chain(tgt, truth):
     """Reference koi2298 chain: 50 walkers, 301 burn + 15001 steps."""
     nw, nburn, nsteps = 50, 301, 15001
@@ -53,9 +65,9 @@ def bench_chain(tgt, truth):
     state = init_ensemble(coords, logp, jax.random.PRNGKey(0))
     # compile both stage shapes first (n_steps/thin are static)
     s, c, _ = run_ensemble(state, logp, n_steps=nburn, thin=nburn)
-    jax.block_until_ready(c)
+    _force(c)
     s, c, _ = run_ensemble(state, logp, n_steps=nsteps, thin=100)
-    jax.block_until_ready(c)
+    _force(c)
     t0 = time.perf_counter()
     state, chain, _ = run_ensemble(state, logp, n_steps=nburn, thin=nburn)
     jax.block_until_ready(chain)
@@ -114,7 +126,7 @@ def bench_anneal(tgt, truth):
     """Stage 1: the reference's nwalk=150, nstep=400 schedule."""
     p0 = init_walkers(tgt, 150, truth[-1], 0.05e-3, jax.random.PRNGKey(0))
     # compile with the same static schedule
-    run_anneal(tgt, p0, jax.random.PRNGKey(1), steps=400)[1].block_until_ready()
+    _force(run_anneal(tgt, p0, jax.random.PRNGKey(1), steps=400)[1])
     t0 = time.perf_counter()
     params, chi, _ = run_anneal(tgt, p0, jax.random.PRNGKey(1), steps=400)
     chi.block_until_ready()
@@ -132,7 +144,7 @@ def bench_evals(tgt, truth):
     coords = init_walker_batch(tgt, truth, nw, DTYPE)
     state = init_ensemble(coords, logp, jax.random.PRNGKey(0))
     s, c, _ = run_ensemble(state, logp, n_steps=nsteps, thin=nsteps)
-    jax.block_until_ready(c)
+    _force(c)
     t0 = time.perf_counter()
     for _ in range(3):
         s, c, _ = run_ensemble(s, logp, n_steps=nsteps, thin=nsteps)
@@ -157,7 +169,7 @@ def bench_nospec(tgt, truth):
     coords = init_walker_batch(tgt_ns, truth, nw, DTYPE)
     state = init_ensemble(coords, logp, jax.random.PRNGKey(0))
     s, c, _ = run_ensemble(state, logp, n_steps=nsteps, thin=nsteps)
-    jax.block_until_ready(c)
+    _force(c)
     t0 = time.perf_counter()
     for _ in range(3):
         s, c, _ = run_ensemble(s, logp, n_steps=nsteps, thin=nsteps)
@@ -220,9 +232,9 @@ def bench_single_gj544b(*_):
     coords = base + scale * jax.random.normal(key, (nw, 4), DTYPE)
     state = init_ensemble(coords, logp, jax.random.PRNGKey(1))
     s, c, _ = run_ensemble(state, logp, n_steps=nburn, thin=nburn)
-    jax.block_until_ready(c)
+    _force(c)
     s, c, _ = run_ensemble(state, logp, n_steps=nsteps, thin=100)
-    jax.block_until_ready(c)
+    _force(c)
     t0 = time.perf_counter()
     s, c, _ = run_ensemble(state, logp, n_steps=nburn, thin=nburn)
     s, c, _ = run_ensemble(s, logp, n_steps=nsteps, thin=100)
@@ -239,7 +251,7 @@ def bench_single_gj544b(*_):
 def _timed_eval(fn, coords, reps):
     """Honest per-call wall: queue ``reps`` dispatches, block once
     (the axon tunnel's ~1 ms dispatch cost is latency, not throughput)."""
-    fn(coords).block_until_ready()  # compile + warm
+    _force(fn(coords))  # compile + warm (host fetch: trap #4)
     t0 = time.perf_counter()
     out = None
     for _ in range(reps):

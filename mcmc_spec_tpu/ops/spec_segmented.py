@@ -141,7 +141,8 @@ def model_extinct(Wcomb, av, D_flat, ext_k_data, mm_passes: int,
 
 
 # ------------------------------------------------------------ k-ary median
-def _kary_order_stat_bits(mi, rank, total_bits: int, psum_axis=None):
+def _kary_order_stat_bits(mi, rank, total_bits: int, psum_axis=None,
+                          iters: int | None = None):
     """Smallest bit-value v per row with (global) count(mi <= v) >= rank.
 
     2-bit radix rounds: the candidate interval [lo, lo + 2^shift) always has
@@ -151,14 +152,29 @@ def _kary_order_stat_bits(mi, rank, total_bits: int, psum_axis=None):
     the bisection's (pallas_kernels._row_order_stat_bits) bit for bit, in
     half the passes over the data / half the psum latency rounds.
 
+    ``iters`` (None/>=total_bits = exact) is the FAST-MEDIAN dial in
+    single-bit units, contract-matched to
+    ``pallas_kernels._row_order_stat_bits(iters, midpoint=True)``: resolve
+    at least ``iters`` bits (ceil(iters/2) 2-bit rounds) and return the
+    MIDPOINT of the remaining 2^(total_bits - 2*ceil(iters/2))-wide
+    interval — the same worst-case bit-interval width as ``iters``
+    bisection passes, so the round-4 alpha^2 tempering bound (0.027 sigma
+    at iters=14, renorm path only) applies unchanged.  Each round is one
+    pass over the data, so iters=14 costs 7 passes where the exact search
+    costs 16.
+
     ``mi``: [B, nd_local] int bit patterns of non-negative floats;
     ``rank``: [B, 1] 1-based; ``psum_axis``: spec-mesh axis name for the
-    distributed form (counts are additive over shards).
+    distributed form (counts are additive over shards — the fast mode is
+    bit-identical sharded vs single-chip, like the exact one).
     """
     itype = mi.dtype
     B = mi.shape[0]
     lo = jnp.zeros((B, 1), itype)
     one = jnp.asarray(1, itype)
+    exact = iters is None or iters >= total_bits
+    # lowest shift the round loop is allowed to touch (0 = run to width 1)
+    stop = 0 if exact else total_bits - 2 * ((iters + 1) // 2)
 
     def count_le(v):
         c = jnp.sum((mi <= v).astype(jnp.int32), axis=1, keepdims=True)
@@ -183,9 +199,12 @@ def _kary_order_stat_bits(mi, rank, total_bits: int, psum_axis=None):
         return lo + d * q
 
     shift = total_bits
-    while shift >= 2:
+    while shift >= 2 and shift > stop:
         lo = round2(shift, lo)
         shift -= 2
+    if not exact:
+        # fast mode: bracket midpoint of [lo, lo + 2^shift), no final count
+        return lo + (one << jnp.asarray(shift - 1, itype))
     if shift == 1:
         m = lo  # [lo, lo+1]: is lo itself enough?
         c = count_le(m)
@@ -193,26 +212,42 @@ def _kary_order_stat_bits(mi, rank, total_bits: int, psum_axis=None):
     return lo
 
 
-def median_nonneg_xla(model, n_true, psum_axis=None):
-    """Exact np.median over (globally) non-negative rows, count-based.
+def median_nonneg_xla(model, n_true, psum_axis=None, iters: int | None = None):
+    """np.median over (globally) non-negative rows, count-based.
 
     The large-nd / distributed median: same semantics as the sorted-rank
     median (``batched._spec_chi2_xla``) and the in-kernel radix select,
     without a sort and without VMEM residency.  ``n_true`` is the global
     count of REAL points (padding carries the 1e30 sentinel).  Non-negative
     precondition as in ``parallel.spec_shard._dist_median_nonneg``.
+
+    ``iters`` (None/0/31 = exact) is the fast-median dial, mirroring
+    ``pallas_kernels._row_median_nonneg``: iters < 31 returns the
+    bit-interval midpoint after ceil(iters/2) 2-bit rounds and SKIPS the
+    even-rank upper-middle refinement (2 further full passes over the
+    data, plus a pmin when distributed) — valid only on the renorm scoring
+    path, whose alpha^2 factorization bounds the posterior shift (0.027
+    sigma at 14; benchmarks/RESULTS.md).  Exact mode is bit-identical to
+    the sorted-rank median; both modes are bit-identical sharded vs
+    single-chip (counts are psum-additive).
     """
     if model.dtype == jnp.float64:
         itype, total_bits = jnp.int64, 63
     else:
         itype, total_bits = jnp.int32, 31
+    exact = iters is None or iters == 0 or iters >= total_bits
     mi = jax.lax.bitcast_convert_type(model, itype)
     n_true = jnp.asarray(n_true, jnp.int32)
     r1 = ((n_true + 1) // 2).astype(jnp.int32).reshape(-1)
     r1 = jnp.broadcast_to(r1, (model.shape[0],))[:, None]
 
-    v1 = _kary_order_stat_bits(mi, r1, total_bits, psum_axis)
+    v1 = _kary_order_stat_bits(mi, r1, total_bits, psum_axis,
+                               iters=None if exact else iters)
     x1 = jax.lax.bitcast_convert_type(v1, model.dtype)
+    if not exact:
+        # bracket midpoint; no upper-middle refinement (matches
+        # _row_median_nonneg's iters<31 branch)
+        return x1[:, 0]
 
     # upper middle (even n_true): x1 again if it repeats past rank r1, else
     # the (globally) next-larger element
@@ -389,18 +424,24 @@ def spectrum_chi2_segmented(
     """Mean spectrum chi^2 for large nd — the segmented single-chip lane.
 
     Same semantics as ``batched._spec_chi2_xla`` (renorm=True) /
-    ``_spec_chi2_xla_median_only`` (renorm=False): exact rank median over
-    the real (unpadded) points, scaled by med_data, deg-2 continuum renorm
-    of the data, mean residual over n_data_true.  ``iters`` is accepted for
-    dial-threading symmetry but the median here is always EXACT (the
-    fast-median tempering bound was established for the VMEM-resident
-    kernel; this lane's median is not the bottleneck knob — measured in
-    benchmarks/RESULTS.md round 5).
+    ``_spec_chi2_xla_median_only`` (renorm=False): rank median over the
+    real (unpadded) points, scaled by med_data, deg-2 continuum renorm of
+    the data, mean residual over n_data_true.  ``iters`` is the pack-time
+    fast-median dial: the round-5 attribution (scripts/attr_segmented.py)
+    measured the median at ~65-70% of this lane (it re-reads the [NW, nd]
+    model once per count round — 16 rounds + 2 even-rank scans exact), so
+    iters=14 (7 rounds, bracket midpoint, no even-rank scans) cuts the
+    lane's HBM traffic roughly in half at the same accuracy contract as
+    the fused kernel's 14-pass production default (alpha^2 bound, 0.027
+    sigma).  The renorm=False (annealer) convention has no such
+    protection and always gets the exact median, same policy as
+    ``batched.optimizer_chi2_batch``.
     """
     iters, mm_passes, recip = _require_dials(iters, mm_passes, recip)
     model = model_extinct(Wcomb, av, D_flat, ext_k_data, mm_passes,
                           interpret=interpret)
-    med = median_nonneg_xla(model, n_data_true)
+    med = median_nonneg_xla(model, n_data_true,
+                            iters=iters if renorm else 31)
     scale = jnp.asarray(med_data, jnp.float32) / med
     if renorm:
         coeffs = renorm_partials(model, scale, data_flux, Vpinv, recip,

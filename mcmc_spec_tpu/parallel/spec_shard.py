@@ -232,10 +232,15 @@ def _spec_chi2_psum(Wcomb, av, tgt: PackedTarget, axis: str, renorm: bool = True
             resid_chi2,
         )
 
-        _, mm, rn = resolve_dials(tgt)
+        it, mm, rn = resolve_dials(tgt)
         model = model_extinct(
             Wcomb, av, tgt.D.reshape(nT * nG, ndl), tgt.ext_k_data, mm)
-        med = median_nonneg_xla(model, tgt.n_data_true, psum_axis=axis)
+        # fast-median dial on the renorm path only (alpha^2 bound; the
+        # annealer's renorm=False always exact — batched.optimizer_chi2_batch
+        # policy); bit-identical sharded vs single-chip at ANY iters
+        # (counts are psum-additive)
+        med = median_nonneg_xla(model, tgt.n_data_true, psum_axis=axis,
+                                iters=it if renorm else 31)
         scale = (tgt.med_data / med).astype(jnp.float32)
         if renorm:
             coeffs = jax.lax.psum(

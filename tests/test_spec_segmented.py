@@ -74,6 +74,78 @@ class TestKaryMedian:
         assert np.array_equal(got, _rank_median(model, 201))
 
 
+class TestFastMedianSegmented:
+    """iters<31: ceil(iters/2) 2-bit rounds + bracket midpoint (round 5).
+
+    Same contract as ``pallas_kernels._row_median_nonneg(iters=14)``: the
+    result lies within a 2^(31-iters)-wide bit interval of the exact
+    order statistic, sharded == single-chip bit for bit, and the
+    renorm=False (annealer) path never sees it.
+    """
+
+    def test_bit_interval_bound(self):
+        rng = np.random.RandomState(5)
+        n_true, nd = 239, 240  # odd: exact median is a data element
+        model = rng.uniform(0.05, 8.0, (32, nd)).astype(np.float32)
+        model[:, n_true:] = 1e30
+        exact = np.asarray(jax.jit(median_nonneg_xla)(
+            jnp.asarray(model), jnp.asarray(n_true, jnp.int32)))
+        fast = np.asarray(jax.jit(
+            lambda m, n: median_nonneg_xla(m, n, iters=14))(
+            jnp.asarray(model), jnp.asarray(n_true, jnp.int32)))
+        db = np.abs(exact.view(np.int32).astype(np.int64)
+                    - fast.view(np.int32).astype(np.int64))
+        assert db.max() <= 2 ** 17  # iters=14 leaves a 2^17-wide bracket
+        rel = np.abs(fast - exact) / exact
+        assert rel.max() < 2e-2
+
+    def test_fast_distributed_bit_identical(self):
+        # counts are psum-additive, so the fast midpoint is bit-identical
+        # sharded vs single-chip — the production WxS invariant
+        rng = np.random.RandomState(13)
+        model = rng.uniform(0.01, 20.0, (16, 240)).astype(np.float32)
+        model[:, 201:] = 1e30
+        single = np.asarray(jax.jit(
+            lambda m, n: median_nonneg_xla(m, n, iters=14))(
+            jnp.asarray(model), jnp.asarray(201, jnp.int32)))
+        mesh = Mesh(np.array(jax.devices("cpu")[:8]), ("spec",))
+        f = shard_map(
+            lambda m, n: median_nonneg_xla(m, n, psum_axis="spec", iters=14),
+            mesh=mesh, in_specs=(P(None, "spec"), P()), out_specs=P(),
+            check_vma=False,
+        )
+        got = np.asarray(jax.jit(f)(jnp.asarray(model),
+                                    jnp.asarray(201, jnp.int32)))
+        assert np.array_equal(got, single)
+
+    @pytest.mark.parametrize("renorm,should_match", [(False, True),
+                                                     (True, False)])
+    def test_dial_policy(self, renorm, should_match):
+        # renorm=False (annealer convention): iters is IGNORED, exact
+        # median always (optimizer_chi2_batch policy).  renorm=True: the
+        # fast dial engages and stays within the alpha^2-bounded tolerance.
+        tgt, truth = build_bench_target(jnp.float32, nd=1024, grid_step=8.0)
+        coords = init_walker_batch(tgt, truth, 16, jnp.float32)
+        p = jnp.asarray(coords, jnp.float32)
+        *_, Wcomb = _forward_small(p, tgt)
+        Wcomb, av = Wcomb.astype(jnp.float32), p[:, tgt.nspec]
+        nT, nG, nd = tgt.D.shape
+        args = (Wcomb, av, tgt.D.reshape(nT * nG, nd).astype(jnp.float32),
+                tgt.ext_k_data, tgt.data_flux, tgt.data_err, tgt.V,
+                tgt.Vpinv, tgt.med_data, tgt.n_data_true)
+        fast = np.asarray(spectrum_chi2_segmented(
+            *args, iters=14, mm_passes=6, recip=0, renorm=renorm,
+            interpret=True))
+        ex = np.asarray(spectrum_chi2_segmented(
+            *args, iters=31, mm_passes=6, recip=0, renorm=renorm,
+            interpret=True))
+        if should_match:
+            assert np.array_equal(fast, ex)
+        else:
+            np.testing.assert_allclose(fast, ex, rtol=2e-2)
+            assert not np.array_equal(fast, ex)
+
+
 @pytest.fixture(scope="module")
 def seg_target():
     # nd=1024: power-of-two so the Pallas tiles engage (128 divides it)

@@ -196,8 +196,9 @@ def _dist_median_nonneg(model_local, n_true, axis: str):
     # thresholds; the three counts fuse into one pass over the data AND one
     # [nw, 3] psum) — HALF the ICI latency rounds per eval: 17 int32 psums
     # (15 two-bit rounds + the final single-bit count + the even-rank
-    # refinement) instead of 32 in f32.  The whole renorm=True eval is 19
-    # psums + 1 pmin (census: benchmarks/bench_suite.py `spshard`).  Result
+    # refinement) instead of 32 in f32; an exact renorm eval is 19 psums +
+    # 1 pmin and the production fast-median renorm eval 9 psums + 0 pmin
+    # (census: benchmarks/bench_suite.py `spshard`).  Exact mode is
     # unchanged bit for bit (it is an exact order-statistic search; the
     # bit-exactness tests pin it).
     return median_nonneg_xla(model_local, n_true, psum_axis=axis)

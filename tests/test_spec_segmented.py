@@ -118,6 +118,26 @@ class TestFastMedianSegmented:
                                     jnp.asarray(201, jnp.int32)))
         assert np.array_equal(got, single)
 
+    @pytest.mark.parametrize("iters,psums,pmins", [(14, 7, 0), (31, 17, 1)])
+    def test_distributed_median_psum_budget(self, iters, psums, pmins):
+        # the per-eval ICI latency-round budget (RESULTS.md census): fast
+        # median = ceil(14/2) = 7 count psums, no even-rank refinement;
+        # exact = 15 two-bit rounds + final single-bit count + even-rank
+        # count (17 psums) + its pmin.  The full renorm eval adds exactly
+        # 2 more psums (renorm coeffs + residual) on top — pinned here so
+        # a regression in the round structure is visible off-device.
+        mesh = Mesh(np.array(jax.devices("cpu")[:8]), ("spec",))
+        f = shard_map(
+            lambda m, n: median_nonneg_xla(m, n, psum_axis="spec",
+                                           iters=iters),
+            mesh=mesh, in_specs=(P(None, "spec"), P()), out_specs=P(),
+            check_vma=False,
+        )
+        jaxpr = str(jax.make_jaxpr(f)(
+            jnp.ones((4, 240), jnp.float32), jnp.asarray(201, jnp.int32)))
+        assert jaxpr.count("psum[") == psums
+        assert jaxpr.count("pmin[") == pmins
+
     @pytest.mark.parametrize("renorm,should_match", [(False, True),
                                                      (True, False)])
     def test_dial_policy(self, renorm, should_match):

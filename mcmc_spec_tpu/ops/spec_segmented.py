@@ -230,19 +230,27 @@ def median_nonneg_xla(model, n_true, psum_axis=None, iters: int | None = None):
     sigma at 14; benchmarks/RESULTS.md).  Exact mode is bit-identical to
     the sorted-rank median; both modes are bit-identical sharded vs
     single-chip (counts are psum-additive).
+
+    The dial is in the pack-time f32 convention (``utils.flags``: 8..31,
+    31 = exact) for EVERY dtype: on the x64 test lane 31 still means
+    exact, and a fast setting resolves iters+3 of the 63 bit-positions —
+    11-bit exponent vs f32's 8 plus the same mantissa depth, so the
+    RELATIVE bracket width (the eps the alpha^2 bound tempers) matches
+    the f32 contract bit-position for bit-position.
     """
     if model.dtype == jnp.float64:
         itype, total_bits = jnp.int64, 63
     else:
         itype, total_bits = jnp.int32, 31
-    exact = iters is None or iters == 0 or iters >= total_bits
+    exact = iters is None or iters == 0 or iters >= 31
+    eff_iters = None if exact else (iters if total_bits == 31 else iters + 3)
     mi = jax.lax.bitcast_convert_type(model, itype)
     n_true = jnp.asarray(n_true, jnp.int32)
     r1 = ((n_true + 1) // 2).astype(jnp.int32).reshape(-1)
     r1 = jnp.broadcast_to(r1, (model.shape[0],))[:, None]
 
     v1 = _kary_order_stat_bits(mi, r1, total_bits, psum_axis,
-                               iters=None if exact else iters)
+                               iters=eff_iters)
     x1 = jax.lax.bitcast_convert_type(v1, model.dtype)
     if not exact:
         # bracket midpoint; no upper-middle refinement (matches

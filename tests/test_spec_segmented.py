@@ -118,6 +118,24 @@ class TestFastMedianSegmented:
                                     jnp.asarray(201, jnp.int32)))
         assert np.array_equal(got, single)
 
+    def test_f64_lane_dial_convention(self):
+        # the dial is the pack-time f32 convention for EVERY dtype: on the
+        # x64 test lane iters=31 still means EXACT (not "31 of 63 bits"
+        # fast), and a fast setting resolves iters+3 bit-positions so the
+        # RELATIVE bracket width — the eps the alpha^2 bound tempers —
+        # matches the f32 contract (11-bit exponent vs f32's 8)
+        rng = np.random.RandomState(17)
+        m64 = rng.uniform(0.05, 8.0, (16, 239))
+        exact31 = np.asarray(jax.jit(
+            lambda m, n: median_nonneg_xla(m, n, iters=31))(
+            jnp.asarray(m64, jnp.float64), jnp.asarray(239, jnp.int32)))
+        assert np.array_equal(exact31, np.median(m64, axis=1))
+        fast = np.asarray(jax.jit(
+            lambda m, n: median_nonneg_xla(m, n, iters=14))(
+            jnp.asarray(m64, jnp.float64), jnp.asarray(239, jnp.int32)))
+        rel = np.abs(fast - exact31) / exact31
+        assert 0 < rel.max() < 2e-2  # same relative pin as the f32 test
+
     @pytest.mark.parametrize("iters,psums,pmins", [(14, 7, 0), (31, 17, 1)])
     def test_distributed_median_psum_budget(self, iters, psums, pmins):
         # the per-eval ICI latency-round budget (RESULTS.md census): fast
